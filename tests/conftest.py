@@ -1,0 +1,45 @@
+"""Test harness config: force CPU backend with 8 virtual devices so sharding
+tests run anywhere (the driver validates real-TPU compilation separately).
+Must run before jax initializes a backend."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # the env pins axon; tests run on CPU
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# The axon sitecustomize force-selects its TPU platform via jax.config even
+# when JAX_PLATFORMS=cpu is in the env; override before any backend init.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.RandomState(0)
+
+
+def make_textured_image(h=240, w=320, seed=1, blobs=160):
+    """Synthetic textured test image with corners: random rectangles +
+    smooth gradient background, uint8-range float32."""
+    r = np.random.RandomState(seed)
+    img = 60.0 + 40.0 * np.outer(
+        np.linspace(0, 1, h), np.linspace(0, 1, w))
+    for _ in range(blobs):
+        y = r.randint(5, h - 15)
+        x = r.randint(5, w - 15)
+        bh = r.randint(3, 12)
+        bw = r.randint(3, 12)
+        img[y:y + bh, x:x + bw] = r.randint(0, 255)
+    return img.astype(np.float32)
+
+
+@pytest.fixture(scope="session")
+def test_image():
+    return make_textured_image()
