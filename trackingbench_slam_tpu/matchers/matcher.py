@@ -1,0 +1,264 @@
+"""The seven interchangeable matching strategies — indirect family.
+
+Replaces Matcher (reference src/matchers/matcher.cpp, include/matchers/
+matcher.h:31-150). Strategy <-> reference mapping:
+
+  1. search_by_nn          <- searchByNN    (matcher.cpp:35-157, FLANN-LSH)
+  2. search_by_bf          <- searchByBF    (matcher.cpp:168-290, BFMatcher
+                                             crossCheck)
+  3. search_by_window      <- searchByViolence (matcher.cpp:299-395, grid
+                                             windowed brute force)
+  4. search_by_projection_frame / _map
+                           <- searchByProjection x2 (matcher.cpp:405-617)
+  5. search_by_bow         <- searchByBow   (matcher.cpp:619-721)
+  6. search_by_opflow      <- searchByOPFlow (matcher.cpp:724-768)
+  7. (direct family lives in matchers/direct.py <- searchByDirect)
+
+On TPU there is one engine under 1-5: a masked (N1, N2) Hamming distance
+matrix on the MXU (ops/hamming.py), with each strategy contributing its own
+candidate mask (level band, search window, same-BoW-node, frustum projection
+window) and its own accept rule (TH_LOW/TH_HIGH, ratio, global-min scaling,
+cross-check, rotation histogram). The reference's FLANN-LSH index and its
+feature grid are both CPU candidate-pruning devices; the masked full matrix
+subsumes them exactly (LSH was approximate — search_by_nn here returns the
+exact neighbors LSH approximates).
+
+All outputs are MatchResult over F1's static capacity:
+  idx (N1,) — best F2/map index per F1 feature
+  dist (N1,) — its Hamming distance
+  ok (N1,) — acceptance mask
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from trackingbench_slam_tpu.geometry import camera as cam_mod
+from trackingbench_slam_tpu.geometry import se3
+from trackingbench_slam_tpu.models.frame import FrameState, is_in_frustum
+from trackingbench_slam_tpu.models.map import MapState, predict_scale
+from trackingbench_slam_tpu.ops import hamming
+from trackingbench_slam_tpu.ops import orb as orb_ops
+from trackingbench_slam_tpu.ops.align import lk_pyramidal
+from trackingbench_slam_tpu.ops.ransac import fundamental_ransac
+from trackingbench_slam_tpu.utils.config import MatcherConfig
+
+
+class MatchResult(NamedTuple):
+    idx: jax.Array
+    dist: jax.Array
+    ok: jax.Array
+
+    def count(self) -> jax.Array:
+        return jnp.sum(self.ok)
+
+
+def _distance_matrix(d1: jax.Array, d2: jax.Array) -> jax.Array:
+    """MXU path for the full matrix (see ops/hamming.py)."""
+    return hamming.hamming_matrix_mxu(
+        orb_ops.unpack_to_pm1(d1), orb_ops.unpack_to_pm1(d2)).astype(jnp.float32)
+
+
+def _level_band_mask(lvl1: jax.Array, lvl2: jax.Array, band: int | None) -> jax.Array:
+    if band is None:
+        return jnp.ones((lvl1.shape[0], lvl2.shape[0]), bool)
+    return jnp.abs(lvl1[:, None] - lvl2[None, :]) <= band
+
+
+def _finish(dist_masked, cfg: MatcherConfig, accept_th: float,
+            use_ratio: bool, angles1=None, angles2=None,
+            one_to_one: bool = True) -> MatchResult:
+    idx, best, second = hamming.best_two(dist_masked)
+    ok = best <= accept_th
+    if use_ratio:
+        ok &= hamming.ratio_filter(best, second, cfg.nn_ratio)
+    if cfg.check_orientation and angles1 is not None:
+        ok = hamming.rotation_histogram_mask(angles1, angles2, idx, ok,
+                                             cfg.histo_length)
+    if one_to_one:
+        ok = hamming.resolve_duplicate_targets(idx, best, ok,
+                                               dist_masked.shape[1])
+    return MatchResult(idx=idx, dist=best, ok=ok)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "level_band", "mappoint_only"))
+def search_by_nn(f1_desc, f1_valid, f2_desc, f2_valid, f2_level, f2_map_idx,
+                 cfg: MatcherConfig = MatcherConfig(),
+                 level_band: int | None = None,
+                 mappoint_only: bool = False) -> MatchResult:
+    """Nearest-neighbor matching with the reference's NN accept rule
+    (matcher.cpp:79-85): keep if dist < min(ratio * global_min_dist, TH_LOW)
+    — the exact version of what its FLANN-LSH approximates. Optional
+    prefilters as in matcher.cpp:45-70: restrict F2 to a level band / to
+    features that carry a MapPoint."""
+    v2 = f2_valid
+    if mappoint_only:
+        v2 = v2 & (f2_map_idx >= 0)
+    dist = _distance_matrix(f1_desc, f2_desc)
+    extra = None
+    if level_band is not None:
+        lvl0 = jnp.zeros(f1_desc.shape[0], jnp.int32)
+        extra = _level_band_mask(lvl0, f2_level, level_band)
+    dm = hamming.masked_distance(dist, f1_valid, v2, extra)
+    idx, best, second = hamming.best_two(dm)
+    # reference accept rule: dist < min(ratio * min_dist, minTh)
+    # (matcher.cpp:79-85 with ratio=10, minTh=30 at call sites); the 1-bit
+    # floor keeps the rule sane when exact-duplicate descriptors drive the
+    # global min to zero
+    global_min = jnp.maximum(jnp.min(dm), 1.0)
+    th = jnp.minimum(cfg.min_dist_ratio * global_min, cfg.min_dist_cap)
+    ok = best < th
+    ok = hamming.resolve_duplicate_targets(idx, best, ok, dm.shape[1])
+    return MatchResult(idx=idx, dist=best, ok=ok)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def search_by_bf(f1_desc, f1_valid, f2_desc, f2_valid,
+                 cfg: MatcherConfig = MatcherConfig()) -> MatchResult:
+    """Brute force with cross-check (matcher.cpp:168-228:
+    cv::BFMatcher(NORM_HAMMING, crossCheck=true) + global-min filter)."""
+    dist = _distance_matrix(f1_desc, f2_desc)
+    dm = hamming.masked_distance(dist, f1_valid, f2_valid)
+    idx, best, mutual = hamming.mutual_best(dm)
+    global_min = jnp.maximum(jnp.min(dm), 1.0)
+    th = jnp.minimum(cfg.min_dist_ratio * global_min, cfg.min_dist_cap)
+    ok = mutual & (best < th)
+    return MatchResult(idx=idx, dist=best, ok=ok)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "level_band"))
+def search_by_window(f1: FrameState, f2: FrameState,
+                     cfg: MatcherConfig = MatcherConfig(),
+                     radius: float | None = None,
+                     level_band: int | None = 1) -> MatchResult:
+    """Windowed brute force ("searchByViolence", matcher.cpp:299-395): for
+    each F1 feature, candidates are F2 features within `radius` px and a
+    level band (the reference gets candidates from the F2 feature grid via
+    GetFeaturesInArea; the distance mask is the dense equivalent); accept
+    best <= TH_LOW with ratio test, then rotation-consistency histogram."""
+    r = cfg.search_radius if radius is None else radius
+    dpx = f1.kp_xy[:, None, :] - f2.kp_xy[None, :, :]
+    within = jnp.sum(dpx * dpx, axis=-1) <= r * r
+    lv = _level_band_mask(f1.kp_level, f2.kp_level, level_band)
+    dist = _distance_matrix(f1.desc, f2.desc)
+    dm = hamming.masked_distance(dist, f1.valid, f2.valid, within & lv)
+    return _finish(dm, cfg, float(cfg.th_low), use_ratio=True,
+                   angles1=f1.kp_angle, angles2=f2.kp_angle)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "scale_factor", "num_levels"))
+def search_by_projection_frame(cam: cam_mod.CameraParams,
+                               f1: FrameState, f2: FrameState,
+                               map_pos: jax.Array,
+                               cfg: MatcherConfig = MatcherConfig(),
+                               scale_factor: float = 0.8,
+                               num_levels: int = 5,
+                               base_radius: float = 7.0) -> MatchResult:
+    """Frame-to-frame projection search (matcher.cpp:405-531): take F2's
+    features that carry MapPoints, transform those landmarks into F1's
+    camera, window-search around the projections with an octave-scaled
+    radius, accept best <= TH_HIGH + rotation histogram.
+
+    map_pos: (M, 3) landmark table (f2.map_idx indexes it). Matches are
+    returned per F1 feature against F2 feature indices (so MapPoint links
+    propagate along the match, as at test_vo.cpp:732-738)."""
+    M = map_pos.shape[0]
+    has_mp = f2.map_idx >= 0
+    pts_w = map_pos[jnp.clip(f2.map_idx, 0, M - 1)]  # (N2, 3)
+    pc = se3.transform_points(f1.T_cw, pts_w)
+    proj = cam_mod.world2cam(cam, pc)  # (N2, 2)
+    in_front = pc[:, 2] > 0.05
+    inb = cam_mod.is_in_frame(cam, proj)
+    cand2 = f2.valid & has_mp & in_front & inb
+    # octave-scaled radius (matcher.cpp:466: r * scaleFactors[octave])
+    r = base_radius * jnp.power(1.0 / scale_factor,
+                                f2.kp_level.astype(jnp.float32))
+    dpx = f1.kp_xy[:, None, :] - proj[None, :, :]
+    within = jnp.sum(dpx * dpx, axis=-1) <= (r * r)[None, :]
+    lv = _level_band_mask(f1.kp_level, f2.kp_level, 1)
+    dist = _distance_matrix(f1.desc, f2.desc)
+    dm = hamming.masked_distance(dist, f1.valid, cand2, within & lv)
+    return _finish(dm, cfg, float(cfg.th_high), use_ratio=False,
+                   angles1=f1.kp_angle, angles2=f2.kp_angle)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "scale_factor", "num_levels"))
+def search_by_projection_map(cam: cam_mod.CameraParams, f1: FrameState,
+                             m: MapState,
+                             cfg: MatcherConfig = MatcherConfig(),
+                             scale_factor: float = 0.8,
+                             num_levels: int = 5,
+                             base_radius: float = 4.0) -> MatchResult:
+    """Map-to-frame projection search (matcher.cpp:539-617): frustum-check
+    every landmark (distance band + viewing angle, Frame::IsInFrustum
+    semantics), predict its scale level, window-search with radius 4 (2.5
+    when viewCos > 0.998), same-level ratio test, accept best <= TH_HIGH.
+
+    Result indexes LANDMARK slots: idx[i] = map slot matched to F1 feature i.
+    F1 features that already carry a MapPoint are excluded (matcher.cpp:
+    569-575)."""
+    px, depth, vis, view_cos = is_in_frustum(f1, cam, m.pos, m.normal,
+                                             m.min_dist, m.max_dist)
+    vis = vis & m.valid
+    cam_center = se3.inverse(f1.T_cw)[:3, 3]
+    dist_w = jnp.linalg.norm(m.pos - cam_center[None, :], axis=-1)
+    pred_lvl = predict_scale(m, dist_w, scale_factor, num_levels)
+    r = jnp.where(view_cos > 0.998, 2.5, base_radius)
+    r = r * jnp.power(1.0 / scale_factor, pred_lvl.astype(jnp.float32))
+    dpx = f1.kp_xy[:, None, :] - px[None, :, :]
+    within = jnp.sum(dpx * dpx, axis=-1) <= (r * r)[None, :]
+    lv = jnp.abs(f1.kp_level[:, None] - pred_lvl[None, :]) <= 1
+    free1 = f1.valid & (f1.map_idx < 0)
+    dist = _distance_matrix(f1.desc, m.desc)
+    dm = hamming.masked_distance(dist, free1, vis, within & lv)
+    return _finish(dm, cfg, float(cfg.th_high), use_ratio=True)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def search_by_bow(f1_desc, f1_valid, f1_node, f1_angle,
+                  f2_desc, f2_valid, f2_node, f2_angle,
+                  cfg: MatcherConfig = MatcherConfig()) -> MatchResult:
+    """BoW-bucketed matching (matcher.cpp:619-721): candidates must share a
+    vocabulary tree node at the FeatureVector granularity (the reference
+    walks both FeatureVectors in lockstep; the same-node equality mask is the
+    batched equivalent), accept best < TH_LOW with ratio + rotation check.
+
+    f*_node: (N,) int32 node ids from bow.vocabulary.transform (levelsup
+    granularity), -1 for invalid features."""
+    same_node = (f1_node[:, None] == f2_node[None, :]) & (f1_node[:, None] >= 0)
+    dist = _distance_matrix(f1_desc, f2_desc)
+    dm = hamming.masked_distance(dist, f1_valid, f2_valid, same_node)
+    return _finish(dm, cfg, float(cfg.th_low), use_ratio=True,
+                   angles1=f1_angle, angles2=f2_angle)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "scale", "use_ransac", "equalized"))
+def search_by_opflow(f1: FrameState, f2: FrameState, key: jax.Array,
+                     cfg: MatcherConfig = MatcherConfig(),
+                     scale: float = 0.8,
+                     use_ransac: bool = True,
+                     equalized: bool = False):
+    """Pyramidal LK tracking of F2's keypoints into F1
+    (matcher.cpp:724-768: cv::calcOpticalFlowPyrLK 21x21, 3 levels, then
+    optional CLAHE and F-matrix RANSAC rejection).
+
+    Identity index matching: feature i of F2 -> tracked position i in F1.
+    Returns (MatchResult with idx = identity, tracked_xy (N, 2)) — the
+    caller installs tracked positions as F1's keypoints (as the reference's
+    VO loop does at test_vo.cpp:716-738).
+    """
+    res = lk_pyramidal(f2.pyramid, f1.pyramid, f2.kp_xy, f2.valid, scale,
+                       half=10, iters=30, num_levels=3)
+    h, w = f1.pyramid[0].shape
+    inb = ((res.xy[:, 0] >= 0) & (res.xy[:, 0] < w)
+           & (res.xy[:, 1] >= 0) & (res.xy[:, 1] < h))
+    ok = f2.valid & res.converged & inb
+    if use_ransac:
+        inl, _ = fundamental_ransac(f2.kp_xy, res.xy, ok, key)
+        ok = ok & inl
+    n = f2.kp_xy.shape[0]
+    return MatchResult(idx=jnp.arange(n), dist=res.error, ok=ok), res.xy

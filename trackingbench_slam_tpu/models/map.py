@@ -1,0 +1,341 @@
+"""MapState / KeyframeStore — fixed-capacity functional map.
+
+Replaces the reference's pointer-graph map layer:
+  * Map (src/types/Map.cpp): std::set of Frame* and MapPoint* with three
+    mutexes -> two fixed-capacity slot tables with validity masks. Erase is a
+    mask flip; RemoveOldFrames (Map.cpp:103-114) is a ring-buffer eviction.
+  * MapPoint (src/types/MapPoint.cpp): per-landmark world position,
+    observation list (Frame* -> feature index), viewing normal and
+    scale-invariance distance band, representative descriptor, visible/found
+    counters -> columns of MapState.
+
+All mutation is functional scatter/mask arithmetic, so map updates can live
+inside jit and shard across devices (landmark axis). Slot allocation uses the
+same prefix-sum free-slot compaction as FrameState.add_keypoints. No mutexes
+exist because no state is shared mutably (the reference's
+mMutexMap/mMutexFeatures/mGlobalMutex protect exactly what immutability
+removes).
+
+Citations into the reference for behavior parity:
+  * AddObservation / EraseObservation    <- MapPoint.cpp:94-122
+  * SetBadFlag / Replace                 <- MapPoint.cpp:139-198
+  * ComputeDistinctiveDescriptors        <- MapPoint.cpp:253-318
+  * UpdateNormalAndDepth                 <- MapPoint.cpp:320-361
+  * GetCloseViewObs                      <- MapPoint.cpp:373-393
+  * PredictScale                         <- MapPoint.cpp:219-233
+  * IncreaseVisible/Found + GetFoundRatio <- MapPoint.h:62-66 counters used
+    by the direct matcher's candidate eviction (matcher.cpp:1044-1051)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from trackingbench_slam_tpu.geometry import se3
+from trackingbench_slam_tpu.ops import hamming
+
+
+class MapState(NamedTuple):
+    pos: jax.Array        # (M, 3) world positions
+    desc: jax.Array       # (M, 8) representative descriptor (uint32 words)
+    normal: jax.Array     # (M, 3) mean viewing direction
+    min_dist: jax.Array   # (M,) scale-invariance band
+    max_dist: jax.Array   # (M,)
+    valid: jax.Array      # (M,) slot alive
+    ref_kf: jax.Array     # (M,) keyframe slot that created the point
+    ref_level: jax.Array  # (M,) pyramid level of the creating observation
+    n_visible: jax.Array  # (M,) times predicted visible
+    n_found: jax.Array    # (M,) times actually matched
+    n_fail_reproj: jax.Array  # (M,) direct-matcher failure counter
+    obs_kf: jax.Array     # (M, K) observing keyframe slots, -1 empty
+    obs_feat: jax.Array   # (M, K) feature index within that keyframe
+    obs_count: jax.Array  # (M,)
+
+    @property
+    def capacity(self) -> int:
+        return self.pos.shape[0]
+
+    def num_valid(self) -> jax.Array:
+        return jnp.sum(self.valid)
+
+
+class KeyframeStore(NamedTuple):
+    """Ring buffer of keyframe feature snapshots (poses + feature arrays).
+
+    The pyramid images of keyframes are NOT stored here (device memory);
+    the host pipeline keeps the most recent keyframe's pyramid for direct
+    matching, mirroring how the reference only ever aligns against recent
+    covisible keyframes (matcher.cpp:991-1005)."""
+
+    T_cw: jax.Array      # (KF, 4, 4)
+    kp_xy: jax.Array     # (KF, N, 2)
+    kp_level: jax.Array  # (KF, N)
+    kp_angle: jax.Array  # (KF, N)
+    desc: jax.Array      # (KF, N, 8)
+    bearing: jax.Array   # (KF, N, 3)
+    map_idx: jax.Array   # (KF, N)
+    kp_valid: jax.Array  # (KF, N)
+    valid: jax.Array     # (KF,)
+    frame_id: jax.Array  # (KF,) global frame number (for ring eviction)
+
+
+def empty_map(capacity: int, max_obs: int, dtype=jnp.float32) -> MapState:
+    M, K = capacity, max_obs
+    return MapState(
+        pos=jnp.zeros((M, 3), dtype),
+        desc=jnp.zeros((M, 8), jnp.uint32),
+        normal=jnp.zeros((M, 3), dtype),
+        min_dist=jnp.zeros((M,), dtype),
+        max_dist=jnp.full((M,), 1e9, dtype),
+        valid=jnp.zeros((M,), bool),
+        ref_kf=jnp.full((M,), -1, jnp.int32),
+        ref_level=jnp.zeros((M,), jnp.int32),
+        n_visible=jnp.ones((M,), jnp.int32),
+        n_found=jnp.ones((M,), jnp.int32),
+        n_fail_reproj=jnp.zeros((M,), jnp.int32),
+        obs_kf=jnp.full((M, K), -1, jnp.int32),
+        obs_feat=jnp.full((M, K), -1, jnp.int32),
+        obs_count=jnp.zeros((M,), jnp.int32),
+    )
+
+
+def empty_keyframes(max_kf: int, kp_capacity: int, dtype=jnp.float32) -> KeyframeStore:
+    KF, N = max_kf, kp_capacity
+    return KeyframeStore(
+        T_cw=jnp.tile(jnp.eye(4, dtype=dtype), (KF, 1, 1)),
+        kp_xy=jnp.full((KF, N, 2), -1.0, dtype),
+        kp_level=jnp.zeros((KF, N), jnp.int32),
+        kp_angle=jnp.zeros((KF, N), dtype),
+        desc=jnp.zeros((KF, N, 8), jnp.uint32),
+        bearing=jnp.zeros((KF, N, 3), dtype),
+        map_idx=jnp.full((KF, N), -1, jnp.int32),
+        kp_valid=jnp.zeros((KF, N), bool),
+        valid=jnp.zeros((KF,), bool),
+        frame_id=jnp.full((KF,), -1, jnp.int32),
+    )
+
+
+def free_slot_destinations(free: jax.Array, want: jax.Array) -> jax.Array:
+    """Assign the r-th wanted item to the r-th free slot; items beyond the
+    free count get destination == capacity (to be dropped by scatter)."""
+    cap = free.shape[0]
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+    slot_idx = jnp.arange(cap, dtype=jnp.int32)
+    slot_of_rank = jnp.full((cap,), cap, jnp.int32).at[
+        jnp.where(free, free_rank, cap)].set(
+        jnp.where(free, slot_idx, cap), mode="drop")
+    want_rank = jnp.cumsum(want.astype(jnp.int32)) - 1
+    n_free = jnp.sum(free)
+    take = want & (want_rank < n_free)
+    return jnp.where(take, slot_of_rank[jnp.clip(want_rank, 0, cap - 1)], cap)
+
+
+def add_points(m: MapState, pos: jax.Array, desc: jax.Array,
+               normal: jax.Array, min_dist: jax.Array, max_dist: jax.Array,
+               ref_kf: jax.Array, ref_level: jax.Array,
+               want: jax.Array) -> tuple[MapState, jax.Array]:
+    """Allocate new landmarks (MapPoint ctor, MapPoint.cpp:13-43 +
+    Map::AddMapPoint, Map.cpp:30-36). Returns (new_map, slot (Nnew,) int32
+    with capacity-sentinel for dropped/not-wanted entries)."""
+    dest = free_slot_destinations(~m.valid, want)
+    K = m.obs_kf.shape[1]
+
+    def scat(arr, vals):
+        return arr.at[dest].set(vals, mode="drop")
+
+    new = m._replace(
+        pos=scat(m.pos, pos),
+        desc=scat(m.desc, desc),
+        normal=scat(m.normal, normal),
+        min_dist=m.min_dist.at[dest].set(min_dist, mode="drop"),
+        max_dist=m.max_dist.at[dest].set(max_dist, mode="drop"),
+        valid=m.valid.at[dest].set(True, mode="drop"),
+        ref_kf=m.ref_kf.at[dest].set(ref_kf, mode="drop"),
+        ref_level=m.ref_level.at[dest].set(ref_level, mode="drop"),
+        n_visible=m.n_visible.at[dest].set(1, mode="drop"),
+        n_found=m.n_found.at[dest].set(1, mode="drop"),
+        n_fail_reproj=m.n_fail_reproj.at[dest].set(0, mode="drop"),
+        obs_kf=m.obs_kf.at[dest].set(jnp.full((pos.shape[0], K), -1, jnp.int32),
+                                     mode="drop"),
+        obs_feat=m.obs_feat.at[dest].set(
+            jnp.full((pos.shape[0], K), -1, jnp.int32), mode="drop"),
+        obs_count=m.obs_count.at[dest].set(0, mode="drop"),
+    )
+    return new, dest
+
+
+def add_observations(m: MapState, point_idx: jax.Array, kf_slot: jax.Array,
+                     feat_idx: jax.Array, want: jax.Array) -> MapState:
+    """Append (keyframe, feature) observations to landmarks
+    (MapPoint::AddObservation, MapPoint.cpp:94-105). point_idx: (B,) landmark
+    slots; kf_slot scalar or (B,); feat_idx: (B,). Ring-overwrites when a
+    landmark's observation list is full."""
+    K = m.obs_kf.shape[1]
+    cap = m.capacity
+    pi = jnp.where(want, point_idx, cap)
+    col = jnp.clip(m.obs_count[jnp.clip(pi, 0, cap - 1)] % K, 0, K - 1)
+    kf_b = jnp.broadcast_to(jnp.asarray(kf_slot), feat_idx.shape)
+    obs_kf = m.obs_kf.at[pi, col].set(kf_b, mode="drop")
+    obs_feat = m.obs_feat.at[pi, col].set(feat_idx, mode="drop")
+    obs_count = m.obs_count.at[pi].add(jnp.where(want, 1, 0), mode="drop")
+    return m._replace(obs_kf=obs_kf, obs_feat=obs_feat, obs_count=obs_count)
+
+
+def erase_points(m: MapState, point_idx: jax.Array, want: jax.Array) -> MapState:
+    """SetBadFlag (MapPoint.cpp:139-160): a mask flip."""
+    cap = m.capacity
+    pi = jnp.where(want, point_idx, cap)
+    return m._replace(valid=m.valid.at[pi].set(False, mode="drop"))
+
+
+def increase_visible(m: MapState, point_idx: jax.Array, want: jax.Array) -> MapState:
+    cap = m.capacity
+    pi = jnp.where(want, point_idx, cap)
+    return m._replace(n_visible=m.n_visible.at[pi].add(1, mode="drop"))
+
+
+def increase_found(m: MapState, point_idx: jax.Array, want: jax.Array) -> MapState:
+    cap = m.capacity
+    pi = jnp.where(want, point_idx, cap)
+    return m._replace(n_found=m.n_found.at[pi].add(1, mode="drop"))
+
+
+def add_reproj_failures(m: MapState, point_idx: jax.Array, failed: jax.Array,
+                        evict_after: int = 30) -> MapState:
+    """Direct-matcher failure counting + eviction of chronically failing
+    candidates (matcher.cpp:1044-1051: delete after >30 failed
+    reprojections)."""
+    cap = m.capacity
+    pi = jnp.where(failed, point_idx, cap)
+    nf = m.n_fail_reproj.at[pi].add(1, mode="drop")
+    return m._replace(n_fail_reproj=nf, valid=m.valid & (nf <= evict_after))
+
+
+def update_normal_and_depth(m: MapState, kfs: KeyframeStore,
+                            scale_factor: float, num_levels: int) -> MapState:
+    """Recompute mean viewing normal + scale-invariance distance band from
+    the observation lists (MapPoint::UpdateNormalAndDepth,
+    MapPoint.cpp:320-361):
+      normal   = mean of unit vectors from observing KF centers to the point
+      max_dist = dist_to_ref * scale^-level ; min_dist = max_dist * scale^(L-1)
+    (with our scale < 1 convention replacing the reference's 1.2 factor).
+    Fully batched over landmarks x observation slots.
+    """
+    Mcap, K = m.obs_kf.shape
+    kf_cap = kfs.T_cw.shape[0]
+    kf_idx = jnp.clip(m.obs_kf, 0, kf_cap - 1)
+    obs_ok = (m.obs_kf >= 0) & m.valid[:, None]
+    # camera centers: T_wc[:3,3] for each observing KF
+    T_wc = jax.vmap(se3.inverse)(kfs.T_cw)  # (KF, 4, 4)
+    centers = T_wc[:, :3, 3]  # (KF, 3)
+    c = centers[kf_idx]  # (M, K, 3)
+    d = m.pos[:, None, :] - c
+    dn = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+    dn = jnp.where(obs_ok[..., None], dn, 0.0)
+    n_obs = jnp.maximum(jnp.sum(obs_ok, axis=1), 1)
+    normal = jnp.sum(dn, axis=1) / n_obs[:, None]
+    normal = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-9)
+
+    ref_kf = jnp.clip(m.ref_kf, 0, kf_cap - 1)
+    ref_center = centers[ref_kf]
+    ref_dist = jnp.linalg.norm(m.pos - ref_center, axis=-1)
+    s = jnp.asarray(scale_factor, m.pos.dtype)
+    level_scale = jnp.power(s, -m.ref_level.astype(m.pos.dtype))  # >= 1
+    max_dist = ref_dist * level_scale
+    min_dist = max_dist * (s ** (num_levels - 1))
+    keep = m.valid
+    return m._replace(
+        normal=jnp.where(keep[:, None], normal, m.normal),
+        max_dist=jnp.where(keep, max_dist, m.max_dist),
+        min_dist=jnp.where(keep, min_dist, m.min_dist),
+    )
+
+
+def compute_distinctive_descriptors(m: MapState, kfs: KeyframeStore) -> MapState:
+    """Representative descriptor = observation whose max... reference takes the
+    descriptor minimizing the *median* Hamming distance to all other
+    observations (MapPoint::ComputeDistinctiveDescriptors,
+    MapPoint.cpp:253-318). Batched: gather all K observed descriptors per
+    landmark, build the K x K distance matrix per landmark, pick argmin of
+    median row."""
+    Mcap, K = m.obs_kf.shape
+    kf_cap = kfs.T_cw.shape[0]
+    n_feat = kfs.desc.shape[1]
+    kf_idx = jnp.clip(m.obs_kf, 0, kf_cap - 1)
+    ft_idx = jnp.clip(m.obs_feat, 0, n_feat - 1)
+    obs_ok = (m.obs_kf >= 0) & (m.obs_feat >= 0)
+    descs = kfs.desc[kf_idx, ft_idx]  # (M, K, 8)
+    x = jnp.bitwise_xor(descs[:, :, None, :], descs[:, None, :, :])
+    dist = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.float32)
+    pair_ok = obs_ok[:, :, None] & obs_ok[:, None, :]
+    big = 1e6
+    dist = jnp.where(pair_ok, dist, big)
+    med = jnp.median(dist, axis=-1)  # (M, K) median distance per candidate row
+    med = jnp.where(obs_ok, med, big)
+    best = jnp.argmin(med, axis=-1)  # (M,)
+    chosen = descs[jnp.arange(Mcap), best]
+    has_obs = jnp.any(obs_ok, axis=-1) & m.valid
+    return m._replace(desc=jnp.where(has_obs[:, None], chosen, m.desc))
+
+
+def get_close_view_obs(m: MapState, kfs: KeyframeStore,
+                       cam_center_w: jax.Array):
+    """For each landmark, the observation with viewing direction closest to
+    the current camera's (MapPoint::GetCloseViewObs, MapPoint.cpp:373-393;
+    cos > 0.5 gate). Returns (kf_slot (M,), feat_idx (M,), ok (M,))."""
+    kf_cap = kfs.T_cw.shape[0]
+    kf_idx = jnp.clip(m.obs_kf, 0, kf_cap - 1)
+    obs_ok = m.obs_kf >= 0
+    T_wc = jax.vmap(se3.inverse)(kfs.T_cw)
+    centers = T_wc[:, :3, 3][kf_idx]  # (M, K, 3)
+    cur_dir = m.pos - cam_center_w[None, :]
+    cur_dir = cur_dir / jnp.maximum(jnp.linalg.norm(cur_dir, axis=-1, keepdims=True), 1e-9)
+    obs_dir = m.pos[:, None, :] - centers
+    obs_dir = obs_dir / jnp.maximum(jnp.linalg.norm(obs_dir, axis=-1, keepdims=True), 1e-9)
+    cos = jnp.sum(obs_dir * cur_dir[:, None, :], axis=-1)
+    cos = jnp.where(obs_ok, cos, -2.0)
+    best = jnp.argmax(cos, axis=-1)
+    ar = jnp.arange(m.capacity)
+    best_cos = cos[ar, best]
+    ok = (best_cos > 0.5) & m.valid & jnp.any(obs_ok, axis=-1)
+    return m.obs_kf[ar, best], m.obs_feat[ar, best], ok
+
+
+def predict_scale(m: MapState, dist: jax.Array, scale_factor: float,
+                  num_levels: int) -> jax.Array:
+    """Predict the pyramid level a landmark should appear at, from its
+    current distance (MapPoint::PredictScale, MapPoint.cpp:219-233:
+    level = ceil(log(max_dist / dist) / log(scaleFactor_ref)); our factor is
+    1/scale_factor since our scale < 1)."""
+    ratio = jnp.maximum(m.max_dist / jnp.maximum(dist, 1e-9), 1e-9)
+    inv = 1.0 / scale_factor
+    lvl = jnp.ceil(jnp.log(ratio) / jnp.log(inv)).astype(jnp.int32)
+    return jnp.clip(lvl, 0, num_levels - 1)
+
+
+def insert_keyframe(kfs: KeyframeStore, frame, frame_id,
+                    max_live: int | None = None) -> tuple[KeyframeStore, jax.Array]:
+    """Insert a frame snapshot into the ring (Map::AddKeyFrame, Map.cpp:16-22
+    + RemoveOldFrames trim, Map.cpp:103-114). Evicts the oldest frame_id when
+    full. Returns (store, slot)."""
+    KF = kfs.valid.shape[0]
+    free = ~kfs.valid
+    any_free = jnp.any(free)
+    first_free = jnp.argmax(free)
+    oldest = jnp.argmin(jnp.where(kfs.valid, kfs.frame_id, jnp.iinfo(jnp.int32).max))
+    slot = jnp.where(any_free, first_free, oldest)
+    return kfs._replace(
+        T_cw=kfs.T_cw.at[slot].set(frame.T_cw),
+        kp_xy=kfs.kp_xy.at[slot].set(frame.kp_xy),
+        kp_level=kfs.kp_level.at[slot].set(frame.kp_level),
+        kp_angle=kfs.kp_angle.at[slot].set(frame.kp_angle),
+        desc=kfs.desc.at[slot].set(frame.desc),
+        bearing=kfs.bearing.at[slot].set(frame.bearing),
+        map_idx=kfs.map_idx.at[slot].set(frame.map_idx),
+        kp_valid=kfs.kp_valid.at[slot].set(frame.valid),
+        valid=kfs.valid.at[slot].set(True),
+        frame_id=kfs.frame_id.at[slot].set(frame_id),
+    ), slot

@@ -89,6 +89,11 @@ class MatcherConfig:
     th_high: int = 100
     histo_length: int = 30
     nn_ratio: float = 0.9
+    # NN/BF global-min accept rule: dist < min(min_dist_ratio * global_min,
+    # min_dist_cap) — reference call sites pass ratio=10, minTh=30
+    # (test/test_vo.cpp:213, test/test_matcher.cpp:68)
+    min_dist_ratio: float = 10.0
+    min_dist_cap: float = 30.0
     check_orientation: bool = True
     search_radius: float = 15.0  # windowed search radius in px at level 0
     max_matches: int = 2048  # static capacity of a match set
