@@ -316,17 +316,24 @@ def predict_scale(m: MapState, dist: jax.Array, scale_factor: float,
     return jnp.clip(lvl, 0, num_levels - 1)
 
 
-def insert_keyframe(kfs: KeyframeStore, frame, frame_id,
-                    max_live: int | None = None) -> tuple[KeyframeStore, jax.Array]:
-    """Insert a frame snapshot into the ring (Map::AddKeyFrame, Map.cpp:16-22
-    + RemoveOldFrames trim, Map.cpp:103-114). Evicts the oldest frame_id when
-    full. Returns (store, slot)."""
-    KF = kfs.valid.shape[0]
+def next_kf_slot(kfs: KeyframeStore) -> jax.Array:
+    """Ring policy: first free slot, else evict the oldest frame_id
+    (Map::RemoveOldFrames, Map.cpp:103-114)."""
     free = ~kfs.valid
     any_free = jnp.any(free)
     first_free = jnp.argmax(free)
-    oldest = jnp.argmin(jnp.where(kfs.valid, kfs.frame_id, jnp.iinfo(jnp.int32).max))
-    slot = jnp.where(any_free, first_free, oldest)
+    oldest = jnp.argmin(jnp.where(kfs.valid, kfs.frame_id,
+                                  jnp.iinfo(jnp.int32).max))
+    return jnp.where(any_free, first_free, oldest)
+
+
+def insert_keyframe(kfs: KeyframeStore, frame, frame_id,
+                    slot: jax.Array | None = None
+                    ) -> tuple[KeyframeStore, jax.Array]:
+    """Insert a frame snapshot into the ring (Map::AddKeyFrame, Map.cpp:16-22
+    + RemoveOldFrames trim, Map.cpp:103-114). Returns (store, slot)."""
+    if slot is None:
+        slot = next_kf_slot(kfs)
     return kfs._replace(
         T_cw=kfs.T_cw.at[slot].set(frame.T_cw),
         kp_xy=kfs.kp_xy.at[slot].set(frame.kp_xy),

