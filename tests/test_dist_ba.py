@@ -1,0 +1,92 @@
+"""Distributed BA tests on the 8-virtual-device CPU mesh: the sharded solver
+must agree with the single-device solver."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from trackingbench_slam_tpu.geometry import se3
+from trackingbench_slam_tpu.parallel import dist_ba, mesh as mesh_mod
+from trackingbench_slam_tpu.solvers import local_ba
+from tests.test_local_ba import _window, CAM
+
+
+def _problem(rng, perturb=True):
+    T_true, X_true, obs_kf, obs_lm, obs_px, O = _window(rng, K=6, M=256,
+                                                        px_noise=0.0)
+    K, M = T_true.shape[0], X_true.shape[0]
+    T0 = T_true.copy()
+    if perturb:
+        for k in range(2, K):
+            d = np.concatenate([rng.randn(3) * 0.04, rng.randn(3) * 0.01])
+            T0[k] = np.asarray(se3.compose(
+                se3.exp(jnp.asarray(d, jnp.float32)), jnp.asarray(T0[k])))
+    X0 = X_true + rng.randn(M, 3).astype(np.float32) * 0.04
+    prob = local_ba.BAProblem(
+        T_cw=jnp.asarray(T0, jnp.float32), points=jnp.asarray(X0),
+        obs_kf=jnp.asarray(obs_kf), obs_lm=jnp.asarray(obs_lm),
+        obs_px=jnp.asarray(obs_px),
+        obs_inv_sigma2=jnp.ones((O,), jnp.float32),
+        obs_valid=jnp.ones((O,), bool))
+    return prob, T_true, X_true
+
+
+def test_partitioner_preserves_observations(rng):
+    prob, _, _ = _problem(rng, perturb=False)
+    sp = dist_ba.partition_problem(prob, 8)
+    # every original valid observation appears exactly once with the same
+    # pixel and a consistent (global) landmark index
+    got = set()
+    M_loc = sp.points.shape[0] // 8
+    O_loc = sp.obs_px.shape[0] // 8
+    for d in range(8):
+        for i in range(O_loc):
+            o = d * O_loc + i
+            if not bool(sp.obs_valid[o]):
+                continue
+            glob_lm = int(sp.obs_lm[o]) + d * M_loc
+            got.add((int(sp.obs_kf[o]), glob_lm,
+                     float(sp.obs_px[o, 0]), float(sp.obs_px[o, 1])))
+    want = set()
+    for o in range(prob.obs_px.shape[0]):
+        want.add((int(prob.obs_kf[o]), int(prob.obs_lm[o]),
+                  float(prob.obs_px[o, 0]), float(prob.obs_px[o, 1])))
+    assert got == want
+
+
+def test_distributed_matches_single_device(rng):
+    prob, T_true, X_true = _problem(rng)
+    # single device reference
+    res = local_ba.bundle_adjust(CAM, prob, iters=12, num_fixed=2)
+    # 8-way sharded
+    m = mesh_mod.make_mesh(lm=8)
+    sp = dist_ba.partition_problem(prob, 8)
+    T_d, X_d = dist_ba.distributed_bundle_adjust(m, CAM, sp, iters=12,
+                                                 num_fixed=2)
+    T_d = np.asarray(T_d)
+    T_s = np.asarray(res.T_cw)
+    for k in range(T_s.shape[0]):
+        err = np.asarray(se3.log(se3.compose(
+            jnp.asarray(T_d[k]), se3.inverse(jnp.asarray(T_s[k])))))
+        assert np.abs(err).max() < 5e-4, (k, err)
+    # both near truth
+    for k in range(T_s.shape[0]):
+        err = np.asarray(se3.log(se3.compose(
+            jnp.asarray(T_d[k]), se3.inverse(jnp.asarray(T_true[k])))))
+        assert np.abs(err).max() < 5e-3, (k, err)
+    # landmark shards map back to the original layout
+    M = X_true.shape[0]
+    lm_err = np.linalg.norm(np.asarray(X_d)[:M] - X_true, axis=1)
+    assert np.median(lm_err) < 0.02
+
+
+def test_distributed_runs_on_one_device(rng):
+    prob, T_true, _ = _problem(rng)
+    m = mesh_mod.make_mesh(lm=1)
+    sp = dist_ba.partition_problem(prob, 1)
+    T_d, _ = dist_ba.distributed_bundle_adjust(m, CAM, sp, iters=10,
+                                               num_fixed=2)
+    err = np.asarray(se3.log(se3.compose(
+        jnp.asarray(np.asarray(T_d)[3]),
+        se3.inverse(jnp.asarray(T_true[3])))))
+    assert np.abs(err).max() < 5e-3

@@ -1,0 +1,179 @@
+"""Distributed windowed bundle adjustment over a device mesh.
+
+The multi-chip design (SURVEY.md §7 step 8, scaling-book recipe):
+
+  * Landmarks are sharded over the mesh axis 'lm'; every observation lives
+    with its landmark's shard (host-side partitioner below).
+  * Window poses (K of them) are replicated — they are tiny.
+  * Each device builds its local BA blocks (solvers/local_ba.build_ba_blocks
+    on its shard): U_d, bp_d are partial sums over local observations; V, W,
+    bl are block-diagonal over landmarks and stay fully local.
+  * The Schur-reduced camera system S = U - W V^-1 W^T and its rhs are formed
+    as one `psum` over 'lm' (the distributed version of the mutex-guarded
+    Hessian accumulation in the reference's only parallel loop,
+    test/test_projection.cpp:281-287).
+  * Every device redundantly Cholesky-solves the replicated (6K, 6K) system
+    (cheaper than sharding a 60x60 solve), then back-substitutes ONLY its own
+    landmark shard — so landmark updates never cross the interconnect.
+
+Communication per LM iteration: one psum of (6K)^2 + 6K floats ≈ 15 KB at
+K=10 — ICI-bound latency, not bandwidth; scaling efficiency is limited only
+by the (tiny) replicated solve. The same shard_map program runs on 1 device
+(mesh of 1) with zero code change.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from trackingbench_slam_tpu.geometry import camera as cam_mod
+from trackingbench_slam_tpu.geometry import se3
+from trackingbench_slam_tpu.solvers import local_ba
+from trackingbench_slam_tpu.solvers.pose_opt import _huber_rho
+
+
+class ShardedBAProblem(NamedTuple):
+    """Landmark-sharded window. Leading axis of points/obs_* is the global
+    (device-major) landmark/observation axis: shard d owns rows
+    [d*M_loc : (d+1)*M_loc) and observations [d*O_loc : (d+1)*O_loc) whose
+    obs_lm index into the LOCAL shard [0, M_loc)."""
+
+    T_cw: jax.Array        # (K, 4, 4) replicated
+    points: jax.Array      # (D*M_loc, 3) sharded over 'lm'
+    obs_kf: jax.Array      # (D*O_loc,) global pose ids
+    obs_lm: jax.Array      # (D*O_loc,) LOCAL landmark ids
+    obs_px: jax.Array      # (D*O_loc, 2)
+    obs_inv_sigma2: jax.Array
+    obs_valid: jax.Array
+
+
+def partition_problem(p: local_ba.BAProblem, num_shards: int) -> ShardedBAProblem:
+    """Host-side partitioner: block-assign landmarks to shards, co-locate and
+    re-index their observations, pad every shard to the max count."""
+    M = p.points.shape[0]
+    O = p.obs_px.shape[0]
+    m_loc = -(-M // num_shards)
+    obs_lm = np.asarray(p.obs_lm)
+    obs_shard = obs_lm // m_loc
+    o_loc = max(int(np.bincount(obs_shard, minlength=num_shards).max()), 1)
+    pts = np.zeros((num_shards * m_loc, 3), np.float32)
+    pts[:M] = np.asarray(p.points)
+    okf = np.zeros((num_shards, o_loc), np.int32)
+    olm = np.zeros((num_shards, o_loc), np.int32)
+    opx = np.zeros((num_shards, o_loc, 2), np.float32)
+    ois = np.zeros((num_shards, o_loc), np.float32)
+    ova = np.zeros((num_shards, o_loc), bool)
+    fill = np.zeros(num_shards, np.int32)
+    obs_kf = np.asarray(p.obs_kf)
+    obs_px = np.asarray(p.obs_px)
+    obs_is = np.asarray(p.obs_inv_sigma2)
+    obs_va = np.asarray(p.obs_valid)
+    for o in range(O):
+        d = obs_shard[o]
+        i = fill[d]
+        okf[d, i] = obs_kf[o]
+        olm[d, i] = obs_lm[o] - d * m_loc
+        opx[d, i] = obs_px[o]
+        ois[d, i] = obs_is[o]
+        ova[d, i] = obs_va[o]
+        fill[d] += 1
+    return ShardedBAProblem(
+        T_cw=p.T_cw,
+        points=jnp.asarray(pts),
+        obs_kf=jnp.asarray(okf.reshape(-1)),
+        obs_lm=jnp.asarray(olm.reshape(-1)),
+        obs_px=jnp.asarray(opx.reshape(-1, 2)),
+        obs_inv_sigma2=jnp.asarray(ois.reshape(-1)),
+        obs_valid=jnp.asarray(ova.reshape(-1)),
+    )
+
+
+def distributed_bundle_adjust(mesh: Mesh, cam: cam_mod.CameraParams,
+                              sp: ShardedBAProblem,
+                              iters: int = 10,
+                              huber_delta: float | None = 2.4477,
+                              init_lambda: float = 1e-4,
+                              num_fixed: int = 1):
+    """Returns (T_cw (K,4,4), points (D*M_loc,3)). jit-compatible."""
+
+    lm_axis = "lm"
+    K = sp.T_cw.shape[0]
+
+    def shard_fn(T_cw, points, obs_kf, obs_lm, obs_px, obs_is, obs_va):
+        prob = local_ba.BAProblem(
+            T_cw=T_cw, points=points, obs_kf=obs_kf, obs_lm=obs_lm,
+            obs_px=obs_px, obs_inv_sigma2=obs_is, obs_valid=obs_va)
+
+        def total_cost(T, X):
+            r, pc, _, _ = local_ba._obs_residuals(cam, T, X, prob)
+            chi2 = jnp.sum(r * r, axis=-1) * obs_is
+            chi2 = jnp.where(pc[:, 2] <= 0.05, 0.0, chi2)
+            rho = chi2 if huber_delta is None else _huber_rho(chi2, huber_delta)
+            local = jnp.sum(jnp.where(obs_va, rho, 0.0))
+            return jax.lax.psum(local, lm_axis)
+
+        def body(i, state):
+            T, X, lam, cost = state
+            U, V, Wb, bp, bl, _ = local_ba.build_ba_blocks(
+                cam, T, X, prob, huber_delta)
+            # local Schur contributions
+            eye3 = jnp.eye(3, dtype=V.dtype)
+            Vinv = jnp.linalg.inv(V + lam * eye3[None])
+            T1 = jnp.einsum("mkij,mjl->mkil", Wb, Vinv,
+                            precision=jax.lax.Precision.HIGHEST)
+            S_local = -jnp.einsum("maij,mbkj->aibk", T1, Wb,
+                                  precision=jax.lax.Precision.HIGHEST)
+            S_local = S_local.at[jnp.arange(K), :, jnp.arange(K), :].add(U)
+            rhs_local = bp - jnp.einsum("mkij,mj->ki", T1, bl,
+                                        precision=jax.lax.Precision.HIGHEST)
+            # ONE collective: reduced camera system over ICI
+            S = jax.lax.psum(S_local, lm_axis)
+            rhs = jax.lax.psum(rhs_local, lm_axis)
+            S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(
+                lam * jnp.eye(6)[None])
+            for f in range(num_fixed):
+                S = S.at[f].set(0.0).at[:, :, f, :].set(0.0)
+                S = S.at[f, jnp.arange(6), f, jnp.arange(6)].set(1.0)
+                rhs = rhs.at[f].set(0.0)
+            Sd = S.reshape(6 * K, 6 * K)
+            L, low = jax.scipy.linalg.cho_factor(Sd, lower=True)
+            dxi = jax.scipy.linalg.cho_solve(
+                (L, low), rhs.reshape(-1)).reshape(K, 6)
+            # local landmark back-substitution (no communication)
+            corr = jnp.einsum("mkij,ki->mj", Wb, dxi,
+                              precision=jax.lax.Precision.HIGHEST)
+            dX = jnp.einsum("mij,mj->mi", Vinv, bl - corr,
+                            precision=jax.lax.Precision.HIGHEST)
+            T_new = jax.vmap(lambda d, t: se3.compose(se3.exp(d), t))(dxi, T)
+            X_new = X + dX
+            c_new = total_cost(T_new, X_new)
+            accept = c_new < cost
+            T = jnp.where(accept, T_new, T)
+            X = jnp.where(accept, X_new, X)
+            lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9),
+                            jnp.minimum(lam * 10.0, 1e8))
+            cost = jnp.where(accept, c_new, cost)
+            return T, X, lam, cost
+
+        T, X, lam, cost = jax.lax.fori_loop(
+            0, iters, body,
+            (T_cw, points, jnp.asarray(init_lambda, jnp.float32),
+             total_cost(T_cw, points)))
+        return jax.vmap(se3.normalize)(T), X
+
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(lm_axis), P(lm_axis), P(lm_axis), P(lm_axis),
+                  P(lm_axis), P(lm_axis)),
+        out_specs=(P(), P(lm_axis)),
+        check_vma=False,
+    )
+    return fn(sp.T_cw, sp.points, sp.obs_kf, sp.obs_lm, sp.obs_px,
+              sp.obs_inv_sigma2, sp.obs_valid)

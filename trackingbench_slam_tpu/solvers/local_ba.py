@@ -1,0 +1,184 @@
+"""Windowed local bundle adjustment via Schur complement — the full
+g2o+Cholmod replacement.
+
+The reference only ships motion-only BA (solvers/pose_opt.py covers it) and
+lists windowed BA as the obvious extension its g2o dependency exists for
+(BlockSolver_6_3 *is* the pose/landmark Schur structure,
+src/mapping/LocalBA.cpp:293-304). This module implements it TPU-first:
+
+  * The observation set is a flat fixed-capacity batch (obs_kf, obs_lm,
+    obs_px, weights, valid) — no graph objects.
+  * One GN/LM iteration: vmapped residuals + Jacobians for every observation,
+    scatter-add into block accumulators
+        U (K,6,6)   pose diagonal blocks
+        V (M,3,3)   landmark diagonal blocks
+        Wb (M,K,6,3) pose-landmark coupling (dense over the window — K is
+                    small, so the "sparse" W of CPU solvers is a small dense
+                    tensor here, which is exactly what the MXU wants)
+        bp (K,6), bl (M,3)
+  * Schur: S = U - W V^-1 W^T, reduced rhs; one dense (6K,6K) Cholesky; then
+    back-substitute landmarks with batched 3x3 solves.
+  * Gauge: the first window pose is clamped (rows/cols of its block pinned
+    to identity), matching the convention of fixing the first keyframe.
+
+Precision: accumulation in f32 with Precision.HIGHEST (the TPU would
+otherwise run these einsums in bf16; g2o used f64 — HIGHEST f32 plus LM
+damping is sufficient at window scale, verified against scipy f64 in tests).
+
+Distribution: build_ba_blocks is the per-shard computation; the distributed
+BA in parallel/dist_ba.py shards observations/landmarks across devices and
+psums (U, bp) + keeps (V, W, bl) local to the landmark shard — see
+parallel/dist_ba.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from trackingbench_slam_tpu.geometry import camera as cam_mod
+from trackingbench_slam_tpu.geometry import se3
+from trackingbench_slam_tpu.solvers.pose_opt import _huber_weight, _huber_rho
+
+HI = jax.lax.Precision.HIGHEST
+
+
+class BAProblem(NamedTuple):
+    """Fixed-capacity window: K poses, M landmarks, O observations."""
+
+    T_cw: jax.Array        # (K, 4, 4)
+    points: jax.Array      # (M, 3)
+    obs_kf: jax.Array      # (O,) int32 in [0, K)
+    obs_lm: jax.Array      # (O,) int32 in [0, M)
+    obs_px: jax.Array      # (O, 2)
+    obs_inv_sigma2: jax.Array  # (O,)
+    obs_valid: jax.Array   # (O,) bool
+
+
+class BAResult(NamedTuple):
+    T_cw: jax.Array
+    points: jax.Array
+    chi2: jax.Array        # final total robust cost
+    inliers: jax.Array     # (O,) final chi2 gate
+
+
+def _obs_residuals(cam, T_cw, points, p: BAProblem):
+    """Residuals + per-observation Jacobians for the full batch."""
+    T_o = T_cw[p.obs_kf]                 # (O, 4, 4)
+    X_o = points[p.obs_lm]               # (O, 3)
+    R_o = T_o[:, :3, :3]
+    pc = jnp.einsum("oij,oj->oi", R_o, X_o, precision=HI) + T_o[:, :3, 3]
+    proj = cam_mod.world2cam(cam, pc)
+    r = p.obs_px - proj                  # (O, 2)
+    Jp = cam_mod.project_jacobian(cam, pc)   # (O, 2, 6) d proj/d xi
+    # landmark Jacobian: d proj / d X_w = d proj / d pc . R
+    # d proj/d pc is Jp's translation columns (:, :, :3)
+    Jl = jnp.einsum("oij,ojk->oik", Jp[:, :, :3], R_o, precision=HI)  # (O,2,3)
+    return r, pc, Jp, Jl
+
+
+def build_ba_blocks(cam, T_cw, points, p: BAProblem, huber_delta: float | None):
+    """Per-shard block accumulation (the psum unit for distributed BA)."""
+    K = T_cw.shape[0]
+    M = points.shape[0]
+    r, pc, Jp, Jl = _obs_residuals(cam, T_cw, points, p)
+    chi2 = jnp.sum(r * r, axis=-1) * p.obs_inv_sigma2
+    w = p.obs_inv_sigma2 * p.obs_valid * (pc[:, 2] > 0.05)
+    if huber_delta is not None:
+        w = w * _huber_weight(chi2, huber_delta)
+    Jpw = Jp * w[:, None, None]
+    U = jnp.zeros((K, 6, 6)).at[p.obs_kf].add(
+        jnp.einsum("oij,oik->ojk", Jpw, Jp, precision=HI))
+    V = jnp.zeros((M, 3, 3)).at[p.obs_lm].add(
+        jnp.einsum("oij,oik->ojk", Jl * w[:, None, None], Jl, precision=HI))
+    Wb = jnp.zeros((M, K, 6, 3)).at[p.obs_lm, p.obs_kf].add(
+        jnp.einsum("oij,oik->ojk", Jpw, Jl, precision=HI))
+    bp = jnp.zeros((K, 6)).at[p.obs_kf].add(
+        jnp.einsum("oij,oi->oj", Jpw, r, precision=HI))
+    bl = jnp.zeros((M, 3)).at[p.obs_lm].add(
+        jnp.einsum("oij,oi->oj", Jl * w[:, None, None], r, precision=HI))
+    rho = chi2 if huber_delta is None else _huber_rho(chi2, huber_delta)
+    cost = jnp.sum(jnp.where(p.obs_valid, rho, 0.0))
+    return U, V, Wb, bp, bl, cost
+
+
+def schur_solve(U, V, Wb, bp, bl, lam, num_fixed: int = 1):
+    """Reduced camera system + landmark back-substitution.
+
+    num_fixed poses at the start of the window are clamped (gauge: >= 1 pins
+    the frame, >= 2 also pins monocular scale — the windowed analogue of
+    ORB-SLAM's fixed keyframes; stereo windows can use 1).
+
+    Returns (dxi (K,6), dX (M,3))."""
+    K = U.shape[0]
+    M = V.shape[0]
+    eye3 = jnp.eye(3, dtype=V.dtype)
+    eye6 = jnp.eye(6, dtype=U.dtype)
+    Vd = V + lam * eye3[None]
+    # batched 3x3 inverse via explicit solve (well-conditioned after damping;
+    # landmarks with no observations get V = lam*I -> dX = bl/lam = 0)
+    Vinv = jnp.linalg.inv(Vd)
+    # S = blockdiag(U) - sum_m W_m Vinv_m W_m^T
+    T1 = jnp.einsum("mkij,mjl->mkil", Wb, Vinv, precision=HI)  # (M,K,6,3)
+    S_off = jnp.einsum("maij,mbkj->aibk", T1, Wb, precision=HI)  # (K,6,K,6)
+    S = -S_off
+    S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(U + lam * eye6[None])
+    rhs = bp - jnp.einsum("mkij,mj->ki", T1, bl, precision=HI)  # (K,6)
+    for f in range(num_fixed):
+        # clamp pose f: identity row/col block, zero rhs
+        S = S.at[f].set(0.0)
+        S = S.at[:, :, f, :].set(0.0)
+        S = S.at[f, jnp.arange(6), f, jnp.arange(6)].set(1.0)
+        rhs = rhs.at[f].set(0.0)
+    Sd = S.reshape(6 * K, 6 * K)
+    L, low = jax.scipy.linalg.cho_factor(Sd, lower=True)
+    dxi = jax.scipy.linalg.cho_solve((L, low), rhs.reshape(-1)).reshape(K, 6)
+    # back-substitute: dX_m = Vinv_m (bl_m - sum_k W_{m,k}^T dxi_k)
+    corr = jnp.einsum("mkij,ki->mj", Wb, dxi, precision=HI)  # (M,3)
+    dX = jnp.einsum("mij,mj->mi", Vinv, bl - corr, precision=HI)
+    return dxi, dX
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "huber_delta", "num_fixed"))
+def bundle_adjust(cam: cam_mod.CameraParams, problem: BAProblem,
+                  iters: int = 10, huber_delta: float | None = 2.4477,
+                  init_lambda: float = 1e-4,
+                  num_fixed: int = 1) -> BAResult:
+    """LM loop over Schur-reduced GN steps (the windowed extension of
+    LocalBA::PoseOptimization's scheme, sharing its Huber/chi2 constants)."""
+
+    def total_cost(T_cw, points):
+        r, pc, _, _ = _obs_residuals(cam, T_cw, points, problem)
+        chi2 = jnp.sum(r * r, axis=-1) * problem.obs_inv_sigma2
+        chi2 = jnp.where(pc[:, 2] <= 0.05, 0.0, chi2)
+        rho = chi2 if huber_delta is None else _huber_rho(chi2, huber_delta)
+        return jnp.sum(jnp.where(problem.obs_valid, rho, 0.0))
+
+    def body(i, state):
+        T_cw, points, lam, cost = state
+        U, V, Wb, bp, bl, _ = build_ba_blocks(cam, T_cw, points, problem,
+                                              huber_delta)
+        dxi, dX = schur_solve(U, V, Wb, bp, bl, lam, num_fixed)
+        T_new = jax.vmap(lambda d, T: se3.compose(se3.exp(d), T))(dxi, T_cw)
+        X_new = points + dX
+        c_new = total_cost(T_new, X_new)
+        accept = c_new < cost
+        T_cw = jnp.where(accept, T_new, T_cw)
+        points = jnp.where(accept, X_new, points)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9),
+                        jnp.minimum(lam * 10.0, 1e8))
+        cost = jnp.where(accept, c_new, cost)
+        return T_cw, points, lam, cost
+
+    T_cw, points, lam, cost = jax.lax.fori_loop(
+        0, iters, body,
+        (problem.T_cw, problem.points, jnp.asarray(init_lambda, jnp.float32),
+         total_cost(problem.T_cw, problem.points)))
+    T_cw = jax.vmap(se3.normalize)(T_cw)
+    r, pc, _, _ = _obs_residuals(cam, T_cw, points, problem)
+    chi2 = jnp.sum(r * r, axis=-1) * problem.obs_inv_sigma2
+    inliers = problem.obs_valid & (chi2 <= 5.991) & (pc[:, 2] > 0.05)
+    return BAResult(T_cw=T_cw, points=points, chi2=cost, inliers=inliers)
