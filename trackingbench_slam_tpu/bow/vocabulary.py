@@ -1,0 +1,252 @@
+"""Bag-of-binary-words vocabulary — the DBoW2 replacement.
+
+Reference: vendored DBoW2 (third_part/DBoW2/DBoW2/TemplatedVocabulary.h:44):
+a k-branching, L-level k-medians tree over 256-bit ORB descriptors;
+`transform` descends by min Hamming distance to child cluster centers
+(TemplatedVocabulary.h:1217-1259); per-image output is a tf-idf weighted
+BowVector (sparse word->weight map, L1-normalized, BowVector.h:29-56) plus a
+FeatureVector (tree-node -> feature indices at a coarser level, used for
+node-bucketed matching, FeatureVector.h:21-42); image similarity is L1 score
+(ScoringObject.cpp; ORB-SLAM uses L1). Training is binary k-medians with a
+bitwise-majority mean (FORB.cpp:28-77 semantics).
+
+TPU-first redesign:
+  * The tree is a *complete* k-ary array: level l holds k^l nodes in one
+    (k^l, 8)-uint32 table; child c of node i at level l is node i*k+c at
+    level l+1. No pointers, no ragged nodes — empty clusters get their
+    parent's descriptor (they simply never win an argmin).
+  * transform() is L rounds of gather -> XOR -> popcount -> argmin over the
+    whole descriptor batch at once.
+  * BowVector is a DENSE (num_words,) tf-idf vector (k^L is a few thousand;
+    dense beats sparse maps on TPU), L1-normalized; database scoring of Q
+    queries against D images is one (Q, W) x (W, D) reduction.
+  * FeatureVector = per-feature node id at `levels_up` above the leaves;
+    node-bucketed matching is the same-node equality mask in
+    matchers.search_by_bow.
+  * Training runs on host NumPy (offline, like DBoW2's create()); the
+    vocabulary used online is pure device arrays. ORBvoc.txt is NOT shipped
+    with the reference either (it loads from an absolute path,
+    test/test_vo.cpp:661-666) — we train from the target domain instead.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _popcount_np(x: np.ndarray) -> np.ndarray:
+    return np.unpackbits(x.view(np.uint8), axis=-1).sum(axis=-1)
+
+
+def _hamming_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(N, 8) x (M, 8) uint32 -> (N, M) int."""
+    x = a[:, None, :] ^ b[None, :, :]
+    return _popcount_np(x.reshape(x.shape[0], x.shape[1], -1))
+
+
+def _majority_mean(descs: np.ndarray) -> np.ndarray:
+    """Bitwise-majority 'mean' descriptor (FORB::meanValue, FORB.cpp:28-77)."""
+    bits = np.unpackbits(descs.view(np.uint8), axis=-1)  # (N, 256)
+    maj = (bits.sum(axis=0) * 2 >= bits.shape[0]).astype(np.uint8)
+    return np.packbits(maj).view(np.uint32)
+
+
+def _kmedians(descs: np.ndarray, k: int, iters: int,
+              rng: np.random.RandomState) -> tuple[np.ndarray, np.ndarray]:
+    """Binary k-medians. Returns (centers (k, 8), assignment (N,))."""
+    n = descs.shape[0]
+    if n == 0:
+        return np.zeros((k, 8), np.uint32), np.zeros((0,), np.int64)
+    # k-means++-ish seeding: random distinct picks
+    picks = rng.choice(n, size=min(k, n), replace=False)
+    centers = descs[picks].copy()
+    if len(picks) < k:
+        centers = np.concatenate(
+            [centers, np.tile(descs[picks[0]], (k - len(picks), 1))])
+    assign = np.zeros(n, np.int64)
+    for _ in range(iters):
+        d = _hamming_np(descs, centers)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            sel = descs[assign == c]
+            if sel.shape[0] > 0:
+                centers[c] = _majority_mean(sel)
+    return centers, assign
+
+
+@dataclasses.dataclass(frozen=True)
+class Vocabulary:
+    """Device-resident vocabulary."""
+
+    levels: tuple          # tuple of (k^l, 8) uint32 jnp arrays, l=1..L
+    word_weights: jax.Array  # (k^L,) idf weights
+    branching: int
+    depth: int
+    levels_up: int
+
+    @property
+    def num_words(self) -> int:
+        return self.branching ** self.depth
+
+    def node_level(self) -> int:
+        return max(self.depth - self.levels_up, 1)
+
+
+def train(descs: np.ndarray, branching: int = 8, depth: int = 4,
+          levels_up: int = 2, kmedians_iters: int = 8,
+          seed: int = 0, weight_corpus: np.ndarray | None = None) -> Vocabulary:
+    """Build the tree from a training descriptor set ((N, 8) uint32).
+
+    Hierarchical k-medians (TemplatedVocabulary::HKmeansStep semantics):
+    cluster all descriptors at the root into k groups, recurse per group.
+    Empty branches inherit the parent's center.
+    """
+    rng = np.random.RandomState(seed)
+    k, L = branching, depth
+    level_tables = []
+    # groups[i] = descriptor indices under node i of current level
+    groups = [np.arange(descs.shape[0])]
+    parent_desc = [_majority_mean(descs) if descs.shape[0] else
+                   np.zeros(8, np.uint32)]
+    for l in range(1, L + 1):
+        table = np.zeros((k ** l, 8), np.uint32)
+        new_groups = []
+        new_parent = []
+        for i, idx in enumerate(groups):
+            sub = descs[idx]
+            centers, assign = _kmedians(sub, k, kmedians_iters, rng)
+            for c in range(k):
+                sel = idx[assign == c] if sub.shape[0] else idx[:0]
+                if sub.shape[0] == 0:
+                    centers[c] = parent_desc[i]
+                table[i * k + c] = centers[c]
+                new_groups.append(sel)
+                new_parent.append(centers[c])
+        level_tables.append(jnp.asarray(table))
+        groups = new_groups
+        parent_desc = new_parent
+
+    voc = Vocabulary(levels=tuple(level_tables),
+                     word_weights=jnp.ones((k ** L,), jnp.float32),
+                     branching=k, depth=L, levels_up=levels_up)
+    # idf from the training corpus (TemplatedVocabulary::setNodeWeights)
+    corpus = weight_corpus if weight_corpus is not None else descs
+    if corpus.shape[0]:
+        words, _ = transform(voc, jnp.asarray(corpus),
+                             jnp.ones((corpus.shape[0],), bool))
+        counts = np.bincount(np.asarray(words), minlength=k ** L)
+        n_img = max(1, corpus.shape[0] // 256)  # ~images worth of features
+        idf = np.log(n_img / np.maximum(counts / 256.0, 1e-3) + 1.0)
+        voc = dataclasses.replace(voc,
+                                  word_weights=jnp.asarray(idf, jnp.float32))
+    return voc
+
+
+def transform(voc: Vocabulary, descs: jax.Array, valid: jax.Array):
+    """Descend all descriptors: returns (word_id (N,), node_id (N,)) with -1
+    for invalid entries. node_id is at `levels_up` above the leaves — the
+    FeatureVector granularity (TemplatedVocabulary.h:1183-1193)."""
+    k = voc.branching
+    n = descs.shape[0]
+    idx = jnp.zeros((n,), jnp.int32)
+    node_at = None
+    node_level = voc.node_level()
+    for l, table in enumerate(voc.levels, start=1):
+        child_base = idx * k
+        cand_idx = child_base[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
+        cand = table[cand_idx]  # (N, k, 8)
+        x = jnp.bitwise_xor(cand, descs[:, None, :])
+        d = jnp.sum(jax.lax.population_count(x), axis=-1)  # (N, k)
+        best = jnp.argmin(d, axis=-1).astype(jnp.int32)
+        idx = child_base + best
+        if l == node_level:
+            node_at = idx
+    word = jnp.where(valid, idx, -1)
+    node = jnp.where(valid, node_at, -1)
+    return word, node
+
+
+def bow_vector(voc: Vocabulary, word_ids: jax.Array, valid: jax.Array) -> jax.Array:
+    """Dense L1-normalized tf-idf BowVector (BowVector::addWeight +
+    normalize, BowVector.h:77-90)."""
+    W = voc.num_words
+    w = jnp.clip(word_ids, 0, W - 1)
+    tf = jnp.zeros((W,), jnp.float32).at[w].add(jnp.where(valid, 1.0, 0.0))
+    v = tf * voc.word_weights
+    n = jnp.sum(jnp.abs(v))
+    return v / jnp.where(n < 1e-9, 1.0, n)
+
+
+# --- scoring (ScoringObject.h:74-89 family, on dense L1-normalized vectors)
+
+def score_l1(v1: jax.Array, v2: jax.Array) -> jax.Array:
+    """DBoW2 L1 score in [0, 1]: 1 - 0.5 * |v1 - v2|_1 (ORB-SLAM default)."""
+    return 1.0 - 0.5 * jnp.sum(jnp.abs(v1 - v2), axis=-1)
+
+
+def score_l2(v1, v2):
+    return 1.0 - 0.5 * jnp.sqrt(jnp.maximum(
+        jnp.sum((v1 - v2) ** 2, axis=-1), 0.0))
+
+
+def score_dot(v1, v2):
+    return jnp.sum(v1 * v2, axis=-1)
+
+
+def score_bhattacharyya(v1, v2):
+    return jnp.sum(jnp.sqrt(jnp.maximum(v1 * v2, 0.0)), axis=-1)
+
+
+def score_chi_square(v1, v2):
+    num = (v1 - v2) ** 2
+    den = v1 + v2
+    return 1.0 - 0.5 * jnp.sum(jnp.where(den > 1e-9, num / den, 0.0), axis=-1)
+
+
+def score_kl(v1, v2):
+    """KL divergence (lower = more similar; kept for parity)."""
+    eps = 1e-9
+    return jnp.sum(jnp.where(v1 > eps,
+                             v1 * jnp.log(jnp.maximum(v1, eps)
+                                          / jnp.maximum(v2, eps)), 0.0),
+                   axis=-1)
+
+
+class BowDatabase:
+    """Place-recognition database (DBoW2 TemplatedDatabase behavior): add
+    BowVectors, query top-k most similar images in one batched score."""
+
+    def __init__(self, voc: Vocabulary, capacity: int = 1024):
+        self.voc = voc
+        self.capacity = capacity
+        self.vectors = jnp.zeros((capacity, voc.num_words), jnp.float32)
+        self.used = 0
+
+    def add(self, v: jax.Array) -> int:
+        i = self.used % self.capacity
+        self.vectors = self.vectors.at[i].set(v)
+        self.used += 1
+        return i
+
+    def query(self, v: jax.Array, top_k: int = 5,
+              exclude_recent: int = 0):
+        """Returns (indices (top_k,), scores (top_k,)). exclude_recent masks
+        the most recently added entries (loop closure should not match the
+        immediate past)."""
+        n = min(self.used, self.capacity)
+        scores = score_l1(self.vectors, v[None, :])  # (capacity,)
+        mask = jnp.arange(self.capacity) < n
+        if exclude_recent > 0 and self.used > 0:
+            recent = (jnp.arange(self.capacity)[None, :]
+                      == jnp.asarray([(self.used - 1 - j) % self.capacity
+                                      for j in range(min(exclude_recent,
+                                                         self.used))])[:, None])
+            mask = mask & ~jnp.any(recent, axis=0)
+        scores = jnp.where(mask, scores, -1.0)
+        vals, idx = jax.lax.top_k(scores, top_k)
+        return idx, vals
