@@ -251,8 +251,8 @@ def search_by_opflow(f1: FrameState, f2: FrameState, key: jax.Array,
     caller installs tracked positions as F1's keypoints (as the reference's
     VO loop does at test_vo.cpp:716-738).
     """
-    res = lk_pyramidal(f2.pyramid, f1.pyramid, f2.kp_xy, f2.valid, scale,
-                       half=10, iters=30, num_levels=3)
+    res = lk_pyramidal(f2.lk_pyr, f1.lk_pyr, f2.kp_xy, f2.valid, 0.5,
+                       half=10, iters=30, num_levels=len(f2.lk_pyr))
     h, w = f1.pyramid[0].shape
     inb = ((res.xy[:, 0] >= 0) & (res.xy[:, 0] < w)
            & (res.xy[:, 1] >= 0) & (res.xy[:, 1] < h))

@@ -43,6 +43,9 @@ from trackingbench_slam_tpu.ops.image import build_pyramid, gaussian_blur
 class FrameState(NamedTuple):
     pyramid: Tuple[jax.Array, ...]
     blurred: Tuple[jax.Array, ...]  # per-level blurred images for descriptors
+    lk_pyr: Tuple[jax.Array, ...]   # dedicated scale-0.5 pyramid for LK
+    # (cv::calcOpticalFlowPyrLK builds its own half-scale pyramid internally;
+    # the frame pyramid's 0.8 factor gives LK almost no convergence range)
     kp_xy: jax.Array
     kp_level: jax.Array
     kp_angle: jax.Array
@@ -80,6 +83,9 @@ def empty_features(capacity: int, dtype=jnp.float32):
     )
 
 
+LK_LEVELS = 4  # half-scale LK pyramid depth (cv::calcOpticalFlowPyrLK default 3+1)
+
+
 def make_frame(img: jax.Array, capacity: int, num_levels: int, scale: float,
                T_cw: jax.Array | None = None,
                blur: bool = True) -> FrameState:
@@ -87,10 +93,12 @@ def make_frame(img: jax.Array, capacity: int, num_levels: int, scale: float,
     img = img.astype(jnp.float32)
     pyr = tuple(build_pyramid(img, num_levels, scale))
     blurred = tuple(gaussian_blur(p) for p in pyr) if blur else pyr
+    lk_pyr = tuple(build_pyramid(img, LK_LEVELS, 0.5))
     feats = empty_features(capacity, img.dtype)
     if T_cw is None:
         T_cw = jnp.eye(4, dtype=jnp.float32)
-    return FrameState(pyramid=pyr, blurred=blurred, T_cw=T_cw, **feats)
+    return FrameState(pyramid=pyr, blurred=blurred, lk_pyr=lk_pyr,
+                      T_cw=T_cw, **feats)
 
 
 def with_keypoints(frame: FrameState, cam: cam_mod.CameraParams,

@@ -137,9 +137,8 @@ def keyframe_step(state: VOState, img_right: jax.Array,
     # stereo: LK left -> right at level 0 rows (rectified), depth = bf/du
     right = make_frame(img_right, 1, cfg.pyramid.num_levels,
                        cfg.pyramid.scale_factor, blur=False)
-    lk = lk_pyramidal(f.pyramid, right.pyramid, f.kp_xy, f.valid,
-                      cfg.pyramid.scale_factor, half=10, iters=30,
-                      num_levels=3)
+    lk = lk_pyramidal(f.lk_pyr, right.lk_pyr, f.kp_xy, f.valid,
+                      0.5, half=10, iters=30, num_levels=len(f.lk_pyr))
     depth, disp_ok = tri.stereo_depth(cam.bf, f.kp_xy[:, 0], lk.xy[:, 0])
     # vertical drift gate (rectified stereo: rows must agree)
     row_ok = jnp.abs(lk.xy[:, 1] - f.kp_xy[:, 1]) < 2.0
