@@ -39,7 +39,16 @@ from trackingbench_slam_tpu.geometry import camera as cam_mod
 from trackingbench_slam_tpu.models.frame import FrameState, with_keypoints
 from trackingbench_slam_tpu.ops import fast as fast_ops
 from trackingbench_slam_tpu.ops import orb as orb_ops
+from trackingbench_slam_tpu.ops.pallas.fast_kernel import fast_score_map_pallas
 from trackingbench_slam_tpu.utils.config import ExtractorConfig, PyramidConfig
+
+
+def detect_scores(img, threshold: float, arc: int):
+    """NMS'd FAST score map; fused Pallas kernel on TPU, XLA compose
+    elsewhere."""
+    if jax.default_backend() == "tpu":
+        return fast_score_map_pallas(img, threshold, arc)
+    return fast_ops.nms3x3(fast_ops.fast_score_map(img, threshold, arc))
 
 
 def level_budgets(total: int, num_levels: int, scale: float) -> list[int]:
@@ -88,9 +97,8 @@ def extract_orb(frame: FrameState, cam: cam_mod.CameraParams,
     for lvl in range(num_levels):
         img = frame.pyramid[lvl]
         s = pyr_cfg.scale_factor ** lvl
-        score = fast_ops.fast_score_map(img, float(config.min_threshold),
-                                        config.fast_arc)
-        score = fast_ops.nms3x3(score)
+        score = detect_scores(img, float(config.min_threshold),
+                              config.fast_arc)
         if suppress_xy is not None:
             m = occupancy_mask(img.shape, suppress_xy * s, suppress_valid,
                                max(int(10 * s), 2))
@@ -144,9 +152,8 @@ def extract_fast(frame: FrameState, cam: cam_mod.CameraParams,
     for lvl in range(num_levels):
         img = frame.pyramid[lvl]
         s = pyr_cfg.scale_factor ** lvl
-        score = fast_ops.fast_score_map(img, float(config.min_threshold),
-                                        config.fast_arc)
-        score = fast_ops.nms3x3(score)
+        score = detect_scores(img, float(config.min_threshold),
+                              config.fast_arc)
         st = fast_ops.shi_tomasi_map(img)
         score = jnp.where(score > 0, st, 0.0)
         if suppress_xy is not None:
