@@ -22,6 +22,12 @@ import jax
 import jax.numpy as jnp
 
 _EPS = 1e-8
+# TPU lowers f32 matmuls to bf16 passes by default; geometry needs full f32.
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_HI)
 
 
 def hat(v: jax.Array) -> jax.Array:
@@ -54,7 +60,7 @@ def so3_exp(phi: jax.Array) -> jax.Array:
     theta2 = jnp.dot(phi, phi)
     a, b, _ = _sinc_terms(theta2)
     K = hat(phi)
-    return jnp.eye(3, dtype=phi.dtype) + a * K + b * (K @ K)
+    return jnp.eye(3, dtype=phi.dtype) + a * K + b * _mm(K, K)
 
 
 def so3_log(R: jax.Array) -> jax.Array:
@@ -74,11 +80,12 @@ def exp(xi: jax.Array) -> jax.Array:
     theta2 = jnp.dot(phi, phi)
     a, b, c = _sinc_terms(theta2)
     K = hat(phi)
-    R = jnp.eye(3, dtype=xi.dtype) + a * K + b * (K @ K)
-    V = jnp.eye(3, dtype=xi.dtype) + b * K + c * (K @ K)
+    KK = _mm(K, K)
+    R = jnp.eye(3, dtype=xi.dtype) + a * K + b * KK
+    V = jnp.eye(3, dtype=xi.dtype) + b * K + c * KK
     T = jnp.eye(4, dtype=xi.dtype)
     T = T.at[:3, :3].set(R)
-    T = T.at[:3, 3].set(V @ rho)
+    T = T.at[:3, 3].set(_mm(V, rho[:, None])[:, 0])
     return T
 
 
@@ -98,8 +105,8 @@ def log(T: jax.Array) -> jax.Array:
         1.0 / 12.0 + theta2 / 720.0,
         (1.0 - (theta * jnp.sin(theta)) / (2.0 * (1.0 - jnp.cos(theta)) + _EPS)) / (theta2 + _EPS),
     )
-    Vinv = jnp.eye(3, dtype=T.dtype) - 0.5 * K + coef * (K @ K)
-    return jnp.concatenate([Vinv @ t, phi])
+    Vinv = jnp.eye(3, dtype=T.dtype) - 0.5 * K + coef * _mm(K, K)
+    return jnp.concatenate([_mm(Vinv, t[:, None])[:, 0], phi])
 
 
 def identity(dtype=jnp.float32) -> jax.Array:
@@ -111,22 +118,22 @@ def inverse(T: jax.Array) -> jax.Array:
     t = T[:3, 3]
     Ti = jnp.eye(4, dtype=T.dtype)
     Ti = Ti.at[:3, :3].set(R.T)
-    Ti = Ti.at[:3, 3].set(-R.T @ t)
+    Ti = Ti.at[:3, 3].set(-_mm(R.T, t[:, None])[:, 0])
     return Ti
 
 
 def compose(A: jax.Array, B: jax.Array) -> jax.Array:
-    return A @ B
+    return _mm(A, B)
 
 
 def transform_points(T: jax.Array, pts: jax.Array) -> jax.Array:
     """Apply (4,4) T to (..., 3) points."""
-    return pts @ T[:3, :3].T + T[:3, 3]
+    return _mm(pts, T[:3, :3].T) + T[:3, 3]
 
 
 def rotate(T: jax.Array, vecs: jax.Array) -> jax.Array:
     """Rotation-only action on (..., 3) direction vectors."""
-    return vecs @ T[:3, :3].T
+    return _mm(vecs, T[:3, :3].T)
 
 
 def from_rt(R: jax.Array, t: jax.Array) -> jax.Array:
@@ -137,13 +144,28 @@ def from_rt(R: jax.Array, t: jax.Array) -> jax.Array:
 
 
 def normalize(T: jax.Array) -> jax.Array:
-    """Re-orthonormalize the rotation block (polar projection via SVD).
+    """Re-orthonormalize the rotation block via Newton polar iteration:
+    R <- R (3I - R^T R) / 2, quadratically convergent for near-orthonormal R.
 
     Long chains of exp-updates drift in f32; the reference relies on Sophus'
-    quaternion storage for this. We renormalize explicitly where it matters.
+    quaternion storage for this. SVD would be exact for arbitrary R but a
+    3x3 SVD costs ~50 ms on a tunneled TPU dispatch; two Newton steps cost
+    four tiny matmuls and handle the <=1e-3 drift this is guarding against.
     """
+    R = T[:3, :3]
+    I3 = jnp.eye(3, dtype=T.dtype)
+    hi = jax.lax.Precision.HIGHEST  # TPU default matmul is bf16 — not here
+    for _ in range(2):
+        RtR = jnp.matmul(R.T, R, precision=hi)
+        R = jnp.matmul(R, 3.0 * I3 - RtR, precision=hi) * 0.5
+    return from_rt(R, T[:3, 3])
+
+
+def normalize_svd(T: jax.Array) -> jax.Array:
+    """Exact polar projection (SVD); for tests / far-from-orthonormal input."""
     R = T[:3, :3]
     u, _, vt = jnp.linalg.svd(R)
     d = jnp.sign(jnp.linalg.det(u @ vt))
-    Rn = u @ jnp.diag(jnp.array([1.0, 1.0, 0.0], T.dtype) + jnp.array([0.0, 0.0, 1.0], T.dtype) * d) @ vt
+    Rn = u @ jnp.diag(jnp.array([1.0, 1.0, 0.0], T.dtype)
+                      + jnp.array([0.0, 0.0, 1.0], T.dtype) * d) @ vt
     return from_rt(Rn, T[:3, 3])

@@ -138,7 +138,14 @@ def lk_pyramidal(prev_pyr: tuple, cur_pyr: tuple, pts: jax.Array,
     prev_pyr/cur_pyr: tuples of (H_l, W_l) images, level 0 = full res.
     pts: (N, 2) level-0 positions in prev. Returns refined level-0 positions
     in cur. Coarse-to-fine over `num_levels` levels.
+
+    On TPU every level runs the fused Pallas window-DMA kernel
+    (ops/pallas/lk_kernel.py) — the XLA gather path costs seconds per frame
+    there; elsewhere the vectorized align_patches path is used.
     """
+    from trackingbench_slam_tpu.ops.pallas.lk_kernel import patch_align_pallas
+
+    use_pallas = jax.default_backend() == "tpu"
     levels = min(num_levels, len(prev_pyr))
     xy = pts * (scale ** (levels - 1))
     conv = valid
@@ -146,13 +153,18 @@ def lk_pyramidal(prev_pyr: tuple, cur_pyr: tuple, pts: jax.Array,
     for lvl in range(levels - 1, -1, -1):
         s = scale ** lvl
         tpl_xy = pts * s
-        tpl, tgrad = template_patches_and_grads(prev_pyr[lvl], tpl_xy, half)
-        res = align_patches(cur_pyr[lvl], tpl, tgrad, xy, valid,
-                            half=half, iters=iters, conv_eps=0.01,
-                            with_illum=True)
-        xy = res.xy
-        err = res.error
-        conv = res.converged
+        if use_pallas:
+            xy, conv, err = patch_align_pallas(
+                prev_pyr[lvl], cur_pyr[lvl], tpl_xy, xy, valid,
+                half=half, iters=iters, conv_eps=0.01)
+        else:
+            tpl, tgrad = template_patches_and_grads(prev_pyr[lvl], tpl_xy, half)
+            res = align_patches(cur_pyr[lvl], tpl, tgrad, xy, valid,
+                                half=half, iters=iters, conv_eps=0.01,
+                                with_illum=True)
+            xy = res.xy
+            err = res.error
+            conv = res.converged
         if lvl > 0:
             xy = xy / scale
     return AlignResult(xy=xy, converged=conv, error=err)

@@ -1,0 +1,279 @@
+"""Batched inverse-compositional patch alignment (LK) as a Pallas TPU kernel.
+
+Why this kernel exists: the XLA version (ops/align.py) samples every patch
+with 4-tap gathers — on TPU a (2000, 21, 21) bilinear gather costs ~120 ms
+and the 30-iteration pyramidal LK ~5 s/frame, 99% of the tracking step
+(measured; see benchmarks/). TPU gathers are the one memory pattern XLA
+cannot tile; the fix is the classic pair of moves:
+
+  1. *Window DMA*: each grid program copies one small pixel window around its
+     point from HBM into VMEM once, then runs ALL iterations against VMEM.
+  2. *Gather-as-matmul*: bilinear sampling at a float position becomes
+     (a) two dynamically-offset row slabs blended by the y-fraction (sublane
+     dynamic slicing is cheap), then (b) one matmul with a banded selection
+     matrix S built from iota compares, where S folds the x-integer shift
+     and x-fraction blend — the MXU does the "gather".
+
+Per program: 2 window DMAs (prev + cur), 5 template samples (patch + central
+-difference gradients), a 3x3 normal-matrix inverse in scalars, then `iters`
+fori_loop steps of sample -> residual -> 3-vector solve -> masked update,
+with the illumination-mean term of the reference's Align2D
+(src/matchers/matcher.cpp:1398-1463) and cv::calcOpticalFlowPyrLK semantics
+for searchByOPFlow (matcher.cpp:745).
+
+Outputs one (1, 128) row per point: [x, y, converged, err, ...pad].
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MARGIN = 6          # search slack around the init position (px, per level)
+# Window geometry: DMA slice offsets must be tile-aligned (sublane 8, lane
+# 128), so bases are rounded down and the window carries the alignment slack.
+WIN_LANES = 256     # window width (lane dim): 128 alignment slack + patch
+
+
+def _win_rows(half: int) -> int:
+    p = 2 * half + 1
+    r = p + 2 * MARGIN + 4 + 8  # + 8 rows of base-alignment slack
+    return (r + 7) // 8 * 8
+
+
+def _slab_rows(half: int) -> int:
+    return (2 * half + 1 + 3 + 7) // 8 * 8  # patch + blend row, 8-aligned
+
+
+PTS_PER_PROG = 8  # output block sublane requirement (>= 8) and DMA overlap
+
+
+def _lk_kernel(bases_ref, floats_ref, prev_hbm, cur_hbm, out_ref,
+               prev_win, cur_win, sems, *, half: int, iters: int,
+               conv_eps: float, height: int, width: int):
+    prog = pl.program_id(0)
+    P = 2 * half + 1
+    SLAB = _slab_rows(half)
+    WIN = prev_win.shape[1]
+
+    # start all window DMAs for this program's 8 points up front so decode
+    # latency overlaps across points
+    def dma(src_ref, win, sem, by, bx):
+        # host aligned the bases (rows to 8, lanes to 128); tell Mosaic
+        return pltpu.make_async_copy(
+            src_ref.at[pl.ds(pl.multiple_of(by, 8), WIN),
+                       pl.ds(pl.multiple_of(bx, 128), WIN_LANES)],
+            win, sem)
+
+    for j in range(PTS_PER_PROG):
+        i = prog * PTS_PER_PROG + j
+        dma(prev_hbm, prev_win.at[j], sems.at[j, 0],
+            bases_ref[0, i], bases_ref[1, i]).start()
+        dma(cur_hbm, cur_win.at[j], sems.at[j, 1],
+            bases_ref[2, i], bases_ref[3, i]).start()
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (WIN_LANES, WIN_LANES), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (WIN_LANES, WIN_LANES), 1)
+    slab_rows = jax.lax.broadcasted_iota(jnp.int32, (SLAB, WIN_LANES), 0)
+    slab_cols = jax.lax.broadcasted_iota(jnp.int32, (SLAB, WIN_LANES), 1)
+    pmask = ((slab_rows < P) & (slab_cols < P)).astype(jnp.float32)
+
+    def one_point(j):
+        i = prog * PTS_PER_PROG + j
+        by_t = bases_ref[0, i]
+        bx_t = bases_ref[1, i]
+        by_c = bases_ref[2, i]
+        bx_c = bases_ref[3, i]
+        tx = floats_ref[0, i] - bx_t.astype(jnp.float32)
+        ty = floats_ref[1, i] - by_t.astype(jnp.float32)
+        ux0 = floats_ref[2, i] - bx_c.astype(jnp.float32)
+        uy0 = floats_ref[3, i] - by_c.astype(jnp.float32)
+        valid = floats_ref[4, i] > 0.5
+        dma(prev_hbm, prev_win.at[j], sems.at[j, 0], by_t, bx_t).wait()
+        dma(cur_hbm, cur_win.at[j], sems.at[j, 1], by_c, bx_c).wait()
+        return _align_one(prev_win[j], cur_win[j], tx, ty, ux0, uy0,
+                          valid, bx_c, by_c)
+
+    def _align_one(pwin, cwin, tx, ty, ux0, uy0, valid, bx_c, by_c):
+        WINR = pwin.shape[0]
+        syr = jax.lax.broadcasted_iota(jnp.int32, (SLAB, WINR), 0)
+        syk = jax.lax.broadcasted_iota(jnp.int32, (SLAB, WINR), 1)
+
+        def sample(win, u, v):
+            # fully gather-free bilinear patch read: dynamic sublane offsets
+            # are not provably tile-aligned for Mosaic, so BOTH axes use
+            # banded selection matmuls: patch = Sy . win . Sx with the
+            # integer offset and bilinear fraction folded into the bands.
+            vtop = v - half
+            utop = u - half
+            iy = jnp.floor(vtop).astype(jnp.int32)
+            fy = vtop - iy.astype(jnp.float32)
+            iyc = jnp.clip(iy, 0, WINR - SLAB - 1)
+            Sy = ((syk == (syr + iyc)).astype(jnp.float32) * (1.0 - fy)
+                  + (syk == (syr + iyc + 1)).astype(jnp.float32) * fy)
+            rows = jnp.dot(Sy, win, preferred_element_type=jnp.float32)
+            ix = jnp.floor(utop).astype(jnp.int32)
+            fx = utop - ix.astype(jnp.float32)
+            ixc = jnp.clip(ix, 0, WIN_LANES - P - 2)
+            m1 = (row_ids == (col_ids + ixc)).astype(jnp.float32)
+            m2 = (row_ids == (col_ids + ixc + 1)).astype(jnp.float32)
+            S = m1 * (1.0 - fx) + m2 * fx
+            return jnp.dot(rows, S, preferred_element_type=jnp.float32)
+
+        # template patch + gradients (inverse compositional)
+        tpl = sample(pwin, tx, ty)
+        gx = 0.5 * (sample(pwin, tx + 1.0, ty) - sample(pwin, tx - 1.0, ty))
+        gy = 0.5 * (sample(pwin, tx, ty + 1.0) - sample(pwin, tx, ty - 1.0))
+
+        h00 = jnp.sum(gx * gx * pmask) + 1e-6
+        h01 = jnp.sum(gx * gy * pmask)
+        h02 = jnp.sum(gx * pmask)
+        h11 = jnp.sum(gy * gy * pmask) + 1e-6
+        h12 = jnp.sum(gy * pmask)
+        h22 = jnp.sum(pmask) + 1e-6
+        # closed-form 3x3 symmetric inverse (cofactors / det)
+        c00 = h11 * h22 - h12 * h12
+        c01 = h02 * h12 - h01 * h22
+        c02 = h01 * h12 - h02 * h11
+        c11 = h00 * h22 - h02 * h02
+        c12 = h01 * h02 - h00 * h12
+        c22 = h00 * h11 - h01 * h01
+        det = h00 * c00 + h01 * c01 + h02 * c02
+        det = jnp.where(jnp.abs(det) < 1e-10, 1e-10, det)
+        inv_det = 1.0 / det
+
+        lo = jnp.float32(half + 1)
+        # upper bounds chosen so the slab slice clamp (iyc/ixc) can never
+        # engage for an in-bounds position: iy = floor(v) - half must stay
+        # <= WIN - SLAB - 1, ix <= WIN_LANES - P - 2
+        hi_y = jnp.float32(WIN - SLAB + half - 1)
+        hi_x = jnp.float32(WIN_LANES - half - 3)
+
+        def body(_, state):
+            u, v, md, active, err = state
+            cur = sample(cwin, u, v)
+            r = (cur - tpl + md) * pmask
+            b0 = jnp.sum(r * gx)
+            b1 = jnp.sum(r * gy)
+            b2 = jnp.sum(r)
+            du = -(c00 * b0 + c01 * b1 + c02 * b2) * inv_det
+            dv = -(c01 * b0 + c11 * b1 + c12 * b2) * inv_det
+            dm = -(c02 * b0 + c12 * b1 + c22 * b2) * inv_det
+            u_new = jnp.clip(u + du, lo, hi_x)
+            v_new = jnp.clip(v + dv, lo, hi_y)
+            step2 = du * du + dv * dv
+            err = jnp.where(active, jnp.sum(jnp.abs(r)) / (P * P), err)
+            u = jnp.where(active, u_new, u)
+            v = jnp.where(active, v_new, v)
+            md = jnp.where(active, md + dm, md)
+            active = active & (step2 >= conv_eps * conv_eps)
+            return u, v, md, active, err
+
+        # reject points whose window clamp moved the patch off-position
+        in_bounds = ((ty >= lo) & (ty <= hi_y) & (tx >= lo) & (tx <= hi_x)
+                     & (uy0 >= lo) & (uy0 <= hi_y)
+                     & (ux0 >= lo) & (ux0 <= hi_x))
+        run = valid & in_bounds
+
+        u, v, md, active, err = jax.lax.fori_loop(
+            0, iters, body,
+            (ux0, uy0, jnp.float32(0.0), run, jnp.float32(1e9)))
+        converged = run & ~active
+        return (u + bx_c.astype(jnp.float32),
+                v + by_c.astype(jnp.float32),
+                converged.astype(jnp.float32), err)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, WIN_LANES), 1)
+    for j in range(PTS_PER_PROG):
+        ox, oy, oc, oe = one_point(j)
+        row = (jnp.where(lane == 0, ox, 0.0)
+               + jnp.where(lane == 1, oy, 0.0)
+               + jnp.where(lane == 2, oc, 0.0)
+               + jnp.where(lane == 3, oe, 0.0))
+        out_ref[pl.ds(j, 1), :] = row
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("half", "iters", "conv_eps", "interpret"))
+def patch_align_pallas(prev_img: jax.Array, cur_img: jax.Array,
+                       pts: jax.Array, init_xy: jax.Array, valid: jax.Array,
+                       half: int = 10, iters: int = 30,
+                       conv_eps: float = 0.01,
+                       interpret: bool = False):
+    """Full LK for N points in one kernel launch.
+
+    prev_img/cur_img: (H, W) float32. pts: (N, 2) template centers in prev.
+    init_xy: (N, 2) starting positions in cur. Returns (xy (N, 2),
+    converged (N,), err (N,)).
+    """
+    h, w = prev_img.shape
+    N0 = pts.shape[0]
+    N = _round_up(N0, PTS_PER_PROG)
+    if N != N0:
+        pad = N - N0
+        pts = jnp.pad(pts, ((0, pad), (0, 0)))
+        init_xy = jnp.pad(init_xy, ((0, pad), (0, 0)))
+        valid = jnp.pad(valid, (0, pad))
+    WIN = _win_rows(half)
+    hp = _round_up(max(h, WIN), 8)
+    wp = _round_up(max(w, WIN_LANES + 128), 128)
+    prev_p = jnp.pad(prev_img, ((0, hp - h), (0, wp - w)))
+    cur_p = jnp.pad(cur_img, ((0, hp - h), (0, wp - w)))
+
+    def base_of(xy):
+        bx = jnp.round(xy[:, 0]).astype(jnp.int32) - half - MARGIN
+        by = jnp.round(xy[:, 1]).astype(jnp.int32) - half - MARGIN
+        bx = (bx // 128) * 128          # lane-tile alignment
+        by = (by // 8) * 8              # sublane-tile alignment
+        bx = jnp.clip(bx, 0, wp - WIN_LANES)
+        by = jnp.clip(by, 0, hp - WIN)
+        return by, bx
+
+    by_t, bx_t = base_of(pts)
+    by_c, bx_c = base_of(init_xy)
+    # transposed (k, N) layout: SMEM tiles are (8, 128), so (N, k) would
+    # pad every 4-wide row to 128 lanes (1 MB of SMEM at N=2000)
+    bases = jnp.stack([by_t, bx_t, by_c, bx_c], axis=0)   # (4, N) int32
+    floats = jnp.stack([pts[:, 0], pts[:, 1], init_xy[:, 0], init_xy[:, 1],
+                        valid.astype(jnp.float32)], axis=0)  # (5, N)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(N // PTS_PER_PROG,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((PTS_PER_PROG, WIN_LANES),
+                               lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((PTS_PER_PROG, WIN, WIN_LANES), jnp.float32),
+            pltpu.VMEM((PTS_PER_PROG, WIN, WIN_LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((PTS_PER_PROG, 2)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_lk_kernel, half=half, iters=iters,
+                          conv_eps=conv_eps, height=h, width=w),
+        out_shape=jax.ShapeDtypeStruct((N, WIN_LANES), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(bases, floats, prev_p, cur_p)
+    out = out[:N0]
+    valid = valid[:N0]
+    xy = out[:, :2]
+    converged = out[:, 2] > 0.5
+    err = out[:, 3]
+    # final in-image check at level resolution
+    inb = ((xy[:, 0] >= half) & (xy[:, 0] < w - half)
+           & (xy[:, 1] >= half) & (xy[:, 1] < h - half))
+    return xy, converged & inb & valid, err
