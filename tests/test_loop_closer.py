@@ -1,0 +1,91 @@
+"""Loop-closing pipeline test: out-and-back trajectory over the synthetic
+plane; the revisit frame must retrieve the early keyframe, verify
+geometrically, and the pose graph must remove injected drift."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from trackingbench_slam_tpu.bow import vocabulary as bow
+from trackingbench_slam_tpu.geometry import camera as cam_mod
+from trackingbench_slam_tpu.models.extractors import extract_orb
+from trackingbench_slam_tpu.models.frame import make_frame
+from trackingbench_slam_tpu.models.loop_closer import LoopCloser
+from trackingbench_slam_tpu.utils.config import (CameraConfig, ExtractorConfig,
+                                                 PyramidConfig)
+from trackingbench_slam_tpu.utils.synthetic import PlaneSequence
+
+DEPTH = 8.0
+CAMC = CameraConfig(width=320, height=240, fx=300.0, fy=300.0,
+                    cx=160.0, cy=120.0)
+
+
+def _out_and_back(n=12, step=0.08):
+    poses = []
+    for i in range(n):
+        # forth for n/2, back for n/2 (ends where it started)
+        x = step * (i if i < n // 2 else (n - 1 - i))
+        T_wc = np.eye(4)
+        T_wc[0, 3] = x
+        poses.append(np.linalg.inv(T_wc))
+    return np.stack(poses)
+
+
+def test_loop_detected_and_corrected():
+    cam = cam_mod.CameraParams.from_config(CAMC)
+    ecfg = ExtractorConfig(num_features=384, min_threshold=12, cell_size=16)
+    pcfg = PyramidConfig(num_levels=3, scale_factor=0.8)
+    seq = PlaneSequence(CAMC, depth=DEPTH)
+    gt = _out_and_back()
+    n = gt.shape[0]
+
+    frames = []
+    descs = []
+    for T in gt:
+        img = seq.render(T)
+        f = make_frame(jnp.asarray(img), 384, 3, 0.8)
+        f = extract_orb(f, cam, ecfg, pcfg)
+        frames.append(f)
+        descs.append(np.asarray(f.desc))
+    voc = bow.train(np.concatenate(descs)[:4000], branching=6, depth=3,
+                    seed=0)
+
+    closer = LoopCloser(voc, cam, min_score=0.02, min_inliers=25,
+                        exclude_recent=4)
+    # register all but the last frame as keyframes, with exact landmarks
+    # (plane backprojection through the true pose)
+    for i in range(n - 1):
+        f = frames[i]
+        kp = np.asarray(f.kp_xy)
+        valid = np.asarray(f.valid)
+        T_wc = np.linalg.inv(gt[i])
+        xn = (kp[:, 0] - CAMC.cx) / CAMC.fx
+        yn = (kp[:, 1] - CAMC.cy) / CAMC.fy
+        # ray-plane intersection in world frame
+        d_w = np.stack([xn, yn, np.ones_like(xn)], -1) @ T_wc[:3, :3].T
+        t = (DEPTH - T_wc[2, 3]) / d_w[:, 2]
+        pos_w = T_wc[:3, 3] + t[:, None] * d_w
+        map_idx = np.where(valid, np.arange(kp.shape[0]), -1)
+        closer.add_keyframe(f.desc, f.valid, f.kp_xy, map_idx,
+                            pos_w.astype(np.float32), gt[i])
+
+    # the final frame is back at the start: detect against the early KFs
+    f = frames[-1]
+    loop = closer.detect(f.desc, f.valid, f.kp_xy, jnp.asarray(gt[-1]))
+    assert loop is not None
+    assert loop.kf_index <= 2, loop.kf_index
+    assert loop.num_inliers >= 25
+    # relative pose current<-kf should be close to identity-ish translation
+    rel_gt = gt[-1] @ np.linalg.inv(gt[loop.kf_index])
+    assert np.abs(loop.T_cur_kf[:3, 3] - rel_gt[:3, 3]).max() < 0.02
+
+    # drifted trajectory: inject x drift, let the loop edge fix the endpoint
+    drift = gt.copy()
+    for k in range(1, n):
+        drift[k] = drift[k].copy()
+        drift[k][0, 3] += 0.01 * k  # accumulating drift in camera x
+    T_opt, cost = LoopCloser.correct_trajectory(
+        drift, loop, cur_index=n - 1)
+    end_err_before = np.abs(drift[n - 1][0, 3] - gt[n - 1][0, 3])
+    end_err_after = np.abs(T_opt[n - 1][0, 3] - gt[n - 1][0, 3])
+    assert end_err_after < end_err_before * 0.5, (end_err_before,
+                                                 end_err_after)

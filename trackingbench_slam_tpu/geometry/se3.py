@@ -46,12 +46,20 @@ def vee(m: jax.Array) -> jax.Array:
 
 
 def _sinc_terms(theta2: jax.Array):
-    """Numerically safe (sin t/t, (1-cos t)/t^2, (t - sin t)/t^3)."""
-    theta = jnp.sqrt(theta2 + _EPS)
-    small = theta2 < 1e-8
-    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / (theta2 + _EPS))
-    c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / (theta2 * theta + _EPS))
+    """Numerically safe (sin t/t, (1-cos t)/t^2, (t - sin t)/t^3).
+
+    Double-where construction: the non-Taylor branch is evaluated at a SAFE
+    theta2 so its derivative is finite even when unused — a plain where()
+    still propagates NaN/garbage gradients from the untaken branch, which
+    silently broke autodiff of exp/log at the identity (the pose-graph
+    Jacobians came out NaN)."""
+    small = theta2 < 1e-6
+    t2 = jnp.where(small, 1.0, theta2)
+    t = jnp.sqrt(t2)
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(t) / t)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(t)) / t2)
+    c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0,
+                  (t - jnp.sin(t)) / (t2 * t))
     return a, b, c
 
 
@@ -64,13 +72,17 @@ def so3_exp(phi: jax.Array) -> jax.Array:
 
 
 def so3_log(R: jax.Array) -> jax.Array:
-    """(3, 3) rotation -> (3,) axis-angle. Safe for theta in [0, pi)."""
-    cos_theta = jnp.clip((jnp.trace(R) - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
+    """(3, 3) rotation -> (3,) axis-angle. Safe (value AND gradient) for
+    theta in [0, pi); degrades only within ~1e-3 of pi."""
     w = vee(R - R.T) * 0.5  # = sin(theta) * axis
-    sin_theta = jnp.sin(theta)
-    # theta/sin(theta) with Taylor at 0
-    scale = jnp.where(theta < 1e-6, 1.0 + theta * theta / 6.0, theta / (sin_theta + _EPS))
+    w2 = jnp.dot(w, w)
+    small = w2 < 1e-10
+    # norm with a finite gradient at 0 (double-where: sqrt never sees 0)
+    sin_theta = jnp.where(small, 0.0, jnp.sqrt(jnp.where(small, 1.0, w2)))
+    cos_theta = jnp.clip((jnp.trace(R) - 1.0) * 0.5, -1.0, 1.0)
+    theta = jnp.arctan2(sin_theta, cos_theta)  # smooth, unlike arccos
+    sin_safe = jnp.where(small, 1.0, sin_theta)
+    scale = jnp.where(small, 1.0 + theta * theta / 6.0, theta / sin_safe)
     return scale * w
 
 
@@ -95,15 +107,15 @@ def log(T: jax.Array) -> jax.Array:
     t = T[:3, 3]
     phi = so3_log(R)
     theta2 = jnp.dot(phi, phi)
-    _, b, c = _sinc_terms(theta2)
     K = hat(phi)
-    # V^{-1} = I - K/2 + (1/theta^2)(1 - a/(2b)) K^2 ; use stable form
-    theta = jnp.sqrt(theta2 + _EPS)
-    small = theta2 < 1e-8
+    # V^{-1} = I - K/2 + coef K^2, double-where safe (see _sinc_terms)
+    small = theta2 < 1e-6
+    th2 = jnp.where(small, 1.0, theta2)
+    th = jnp.sqrt(th2)
     coef = jnp.where(
         small,
         1.0 / 12.0 + theta2 / 720.0,
-        (1.0 - (theta * jnp.sin(theta)) / (2.0 * (1.0 - jnp.cos(theta)) + _EPS)) / (theta2 + _EPS),
+        (1.0 - (th * jnp.sin(th)) / (2.0 * (1.0 - jnp.cos(th)))) / th2,
     )
     Vinv = jnp.eye(3, dtype=T.dtype) - 0.5 * K + coef * _mm(K, K)
     return jnp.concatenate([_mm(Vinv, t[:, None])[:, 0], phi])
