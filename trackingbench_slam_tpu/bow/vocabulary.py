@@ -217,6 +217,29 @@ def score_kl(v1, v2):
                    axis=-1)
 
 
+def save_vocabulary(voc: Vocabulary, path: str) -> None:
+    """Persist the tree (DBoW2 TemplatedVocabulary::save equivalent,
+    TemplatedVocabulary.h:1437-1509 — npz instead of yaml/text)."""
+    np.savez_compressed(
+        path,
+        branching=voc.branching, depth=voc.depth, levels_up=voc.levels_up,
+        word_weights=np.asarray(voc.word_weights),
+        **{f"level_{i}": np.asarray(t) for i, t in enumerate(voc.levels)})
+
+
+def load_vocabulary(path: str) -> Vocabulary:
+    """TemplatedVocabulary::load equivalent (the reference loads the
+    ORB-SLAM2 ORBvoc.txt, TemplatedVocabulary.h:1338-1430; ours round-trips
+    its own format)."""
+    z = np.load(path)
+    depth = int(z["depth"])
+    return Vocabulary(
+        levels=tuple(jnp.asarray(z[f"level_{i}"]) for i in range(depth)),
+        word_weights=jnp.asarray(z["word_weights"]),
+        branching=int(z["branching"]), depth=depth,
+        levels_up=int(z["levels_up"]))
+
+
 class BowDatabase:
     """Place-recognition database (DBoW2 TemplatedDatabase behavior): add
     BowVectors, query top-k most similar images in one batched score."""

@@ -152,6 +152,16 @@ def undistort_map(cam: CameraParams, height: int, width: int) -> jax.Array:
     return jnp.stack([xs_src, ys_src], axis=-1)
 
 
+def undistort_image(cam: CameraParams, img: jax.Array) -> jax.Array:
+    """Apply the precomputed undistortion map to an image
+    (PinholeCamera::UndistortImage, CameraModel.cpp:96-102: cv::remap with
+    the constructor-precomputed tables). One bilinear gather pass."""
+    from trackingbench_slam_tpu.ops.image import bilinear_sample
+    h, w = img.shape
+    m = undistort_map(cam, h, w)
+    return bilinear_sample(img, m)
+
+
 def project_jacobian(cam: CameraParams, pts_cam: jax.Array) -> jax.Array:
     """d(pixel)/d(xi) for a camera-frame point: (..., 3) -> (..., 2, 6).
 

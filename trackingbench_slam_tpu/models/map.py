@@ -191,6 +191,29 @@ def erase_points(m: MapState, point_idx: jax.Array, want: jax.Array) -> MapState
     return m._replace(valid=m.valid.at[pi].set(False, mode="drop"))
 
 
+def replace_points(m: MapState, old_idx: jax.Array, new_idx: jax.Array,
+                   want: jax.Array) -> tuple[MapState, jax.Array]:
+    """MapPoint::Replace (MapPoint.cpp:162-198): fuse duplicate landmarks —
+    the old point dies, its found/visible statistics merge into the new one,
+    and a redirect table is returned so frames/keyframes can rewrite their
+    map_idx links (the reference walks Frame::ReplaceMapPointMatch; here the
+    caller applies `redirect[map_idx]` as one gather).
+
+    Returns (map, redirect (capacity+1,) int32) with redirect[i] = i for
+    untouched slots."""
+    cap = m.capacity
+    oi = jnp.where(want & (old_idx != new_idx), old_idx, cap)
+    ni = jnp.clip(new_idx, 0, cap - 1)
+    nvis = m.n_visible.at[jnp.where(oi < cap, ni, cap)].add(
+        m.n_visible[jnp.clip(oi, 0, cap - 1)], mode="drop")
+    nfnd = m.n_found.at[jnp.where(oi < cap, ni, cap)].add(
+        m.n_found[jnp.clip(oi, 0, cap - 1)], mode="drop")
+    valid = m.valid.at[oi].set(False, mode="drop")
+    redirect = jnp.arange(cap + 1, dtype=jnp.int32)
+    redirect = redirect.at[oi].set(ni.astype(jnp.int32), mode="drop")
+    return m._replace(valid=valid, n_visible=nvis, n_found=nfnd), redirect
+
+
 def increase_visible(m: MapState, point_idx: jax.Array, want: jax.Array) -> MapState:
     cap = m.capacity
     pi = jnp.where(want, point_idx, cap)

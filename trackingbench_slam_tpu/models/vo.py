@@ -139,10 +139,21 @@ def keyframe_step(state: VOState, img_right: jax.Array,
                        cfg.pyramid.scale_factor, blur=False)
     lk = lk_pyramidal(f.lk_pyr, right.lk_pyr, f.kp_xy, f.valid,
                       0.5, half=10, iters=30, num_levels=len(f.lk_pyr))
+    # forward-backward consistency: track the right-image match back into
+    # the left image; a healthy stereo match returns to its keypoint within
+    # a pixel. Weak-texture patches "converge" at garbage positions in both
+    # LK implementations — the round trip is the reliable rejector (the
+    # reference leans on its F-matrix RANSAC for the same purpose,
+    # matcher.cpp:853-881; rectified stereo admits this stronger check).
+    lk_back = lk_pyramidal(right.lk_pyr, f.lk_pyr, lk.xy, f.valid,
+                           0.5, half=10, iters=30,
+                           num_levels=len(f.lk_pyr))
+    fb_ok = (lk_back.converged
+             & (jnp.sum((lk_back.xy - f.kp_xy) ** 2, axis=-1) < 1.0))
     depth, disp_ok = tri.stereo_depth(cam.bf, f.kp_xy[:, 0], lk.xy[:, 0])
     # vertical drift gate (rectified stereo: rows must agree)
     row_ok = jnp.abs(lk.xy[:, 1] - f.kp_xy[:, 1]) < 2.0
-    depth_ok = (f.valid & lk.converged & disp_ok & row_ok
+    depth_ok = (f.valid & lk.converged & fb_ok & disp_ok & row_ok
                 & (depth > 0.1) & (depth < 400.0))
 
     # back-project to world through the optimized pose
@@ -181,13 +192,26 @@ def keyframe_step(state: VOState, img_right: jax.Array,
 
 class StereoVO:
     """Host-side driver for the stereo pipeline (the role of test_kitti's
-    main loop). Keeps everything else on device."""
+    main loop). Keeps everything else on device.
+
+    Tracking-failure handling (the reference has NONE — PoseOptimization
+    returns an inlier count that its callers ignore, LocalBA.cpp:489):
+    when the post-optimization inlier count drops below
+    `min_track_inliers`, the frame is flagged lost; if a LoopCloser is
+    attached (`vo.loop_closer = LoopCloser(...)`), relocalization is
+    attempted against the keyframe database and, on success, the pose is
+    reset from the loop candidate."""
+
+    min_track_inliers = 15
 
     def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
         self.cam = cam_mod.CameraParams.from_config(cfg.camera)
         self.state: Optional[VOState] = None
         self.trajectory: list = []
+        self.loop_closer = None
+        self.lost = False
+        self.reloc_events: list = []
 
     def track(self, img_left, img_right=None):
         img_left = jnp.asarray(img_left, jnp.float32)
@@ -203,12 +227,34 @@ class StereoVO:
             return self.state
         self.state = track_step(self.state, img_left, self.cam, self.cfg)
         fid = int(self.state.frame_id)
+        self.lost = int(self.state.num_inliers) < self.min_track_inliers \
+            and fid > 1
+        if self.lost and self.loop_closer is not None:
+            self._relocalize()
         if img_right is not None and fid % self.cfg.keyframe_every == 0:
             img_right = jnp.asarray(img_right, jnp.float32)
             self.state = keyframe_step(self.state, img_right, self.cam,
                                        self.cfg)
         self.trajectory.append(self.state.T_cw)
         return self.state
+
+    def _relocalize(self):
+        """Recover from tracking loss via BoW retrieval against the keyframe
+        database (relocalization — absent from the reference entirely)."""
+        from trackingbench_slam_tpu.models.extractors import extract_orb
+        f = extract_orb(self.state.prev, self.cam, self.cfg.extractor,
+                        self.cfg.pyramid)
+        loop = self.loop_closer.detect(f.desc, f.valid, f.kp_xy,
+                                       self.state.T_cw)
+        if loop is not None:
+            import numpy as np
+            kf_T = self.loop_closer.entries[loop.kf_index]["T_cw"]
+            T_new = jnp.asarray(loop.T_cur_kf @ np.asarray(kf_T),
+                                jnp.float32)
+            self.state = self.state._replace(T_cw=T_new,
+                                             prev=f._replace(T_cw=T_new))
+            self.lost = False
+            self.reloc_events.append(int(self.state.frame_id))
 
     def poses(self):
         import numpy as np

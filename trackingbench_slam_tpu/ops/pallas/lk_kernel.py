@@ -33,7 +33,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-MARGIN = 6          # search slack around the init position (px, per level)
+MARGIN = 12         # search slack around the init position (px, per level)
+# must exceed the per-level pull-in a coarser-level failure can demand:
+# at pyramid scale 0.5 a miss at level l+1 doubles at level l, so a 21 px
+# window needs ~+-10 px of recoverable travel
 # Window geometry: DMA slice offsets must be tile-aligned (sublane 8, lane
 # 128), so bases are rounded down and the window carries the alignment slack.
 WIN_LANES = 256     # window width (lane dim): 128 alignment slack + patch
@@ -154,7 +157,7 @@ def _lk_kernel(bases_ref, floats_ref, prev_hbm, cur_hbm, out_ref,
         hi_x = jnp.float32(WIN_LANES - half - 3)
 
         def body(_, state):
-            u, v, md, active, err = state
+            u, v, md, active, failed, err = state
             cur = sample(cwin, u, v)
             r = (cur - tpl + md) * pmask
             b0 = jnp.sum(r * gx)
@@ -163,15 +166,23 @@ def _lk_kernel(bases_ref, floats_ref, prev_hbm, cur_hbm, out_ref,
             du = -(c00 * b0 + c01 * b1 + c02 * b2) * inv_det
             dv = -(c01 * b0 + c11 * b1 + c12 * b2) * inv_det
             dm = -(c02 * b0 + c12 * b1 + c22 * b2) * inv_det
-            u_new = jnp.clip(u + du, lo, hi_x)
-            v_new = jnp.clip(v + dv, lo, hi_y)
+            u_raw = u + du
+            v_raw = v + dv
+            # a step that leaves the window is a FAILURE, not a clamp: the
+            # clamped point would sit at the window edge with a tiny step
+            # and report convergence at a garbage position
+            out = ((u_raw < lo) | (u_raw > hi_x)
+                   | (v_raw < lo) | (v_raw > hi_y))
+            failed = failed | (active & out)
+            u_new = jnp.clip(u_raw, lo, hi_x)
+            v_new = jnp.clip(v_raw, lo, hi_y)
             step2 = du * du + dv * dv
             err = jnp.where(active, jnp.sum(jnp.abs(r)) / (P * P), err)
             u = jnp.where(active, u_new, u)
             v = jnp.where(active, v_new, v)
             md = jnp.where(active, md + dm, md)
-            active = active & (step2 >= conv_eps * conv_eps)
-            return u, v, md, active, err
+            active = active & (step2 >= conv_eps * conv_eps) & ~failed
+            return u, v, md, active, failed, err
 
         # reject points whose window clamp moved the patch off-position
         in_bounds = ((ty >= lo) & (ty <= hi_y) & (tx >= lo) & (tx <= hi_x)
@@ -179,10 +190,11 @@ def _lk_kernel(bases_ref, floats_ref, prev_hbm, cur_hbm, out_ref,
                      & (ux0 >= lo) & (ux0 <= hi_x))
         run = valid & in_bounds
 
-        u, v, md, active, err = jax.lax.fori_loop(
+        u, v, md, active, failed, err = jax.lax.fori_loop(
             0, iters, body,
-            (ux0, uy0, jnp.float32(0.0), run, jnp.float32(1e9)))
-        converged = run & ~active
+            (ux0, uy0, jnp.float32(0.0), run, jnp.bool_(False),
+             jnp.float32(1e9)))
+        converged = run & ~active & ~failed
         return (u + bx_c.astype(jnp.float32),
                 v + by_c.astype(jnp.float32),
                 converged.astype(jnp.float32), err)
