@@ -168,12 +168,12 @@ def distributed_bundle_adjust(mesh: Mesh, cam: cam_mod.CameraParams,
              total_cost(T_cw, points)))
         return jax.vmap(se3.normalize)(T), X
 
-    fn = shard_map(
+    fn = jax.jit(shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(), P(lm_axis), P(lm_axis), P(lm_axis), P(lm_axis),
                   P(lm_axis), P(lm_axis)),
         out_specs=(P(), P(lm_axis)),
         check_vma=False,
-    )
+    ))
     return fn(sp.T_cw, sp.points, sp.obs_kf, sp.obs_lm, sp.obs_px,
               sp.obs_inv_sigma2, sp.obs_valid)
