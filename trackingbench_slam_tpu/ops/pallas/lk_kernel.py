@@ -8,11 +8,14 @@ cannot tile; the fix is the classic pair of moves:
 
   1. *Window DMA*: each grid program copies one small pixel window around its
      point from HBM into VMEM once, then runs ALL iterations against VMEM.
-  2. *Gather-as-matmul*: bilinear sampling at a float position becomes
-     (a) two dynamically-offset row slabs blended by the y-fraction (sublane
-     dynamic slicing is cheap), then (b) one matmul with a banded selection
-     matrix S built from iota compares, where S folds the x-integer shift
-     and x-fraction blend — the MXU does the "gather".
+  2. *Gather-as-roll*: bilinear sampling at a float position becomes an
+     8-aligned sublane slice (pl.multiple_of) of the VMEM window, a dynamic
+     sublane roll for the sub-tile row remainder, a dynamic lane roll
+     (pltpu.roll) for the column shift, and a 4-tap elementwise blend for
+     the bilinear fractions — pure VPU work, no matmuls. (A previous
+     version built banded selection matrices and "gathered" on the MXU;
+     at 2 small matmuls x 30 iters x 2000 points the kernel was issue-bound
+     at ~73 ms/track — the roll path is ~20x cheaper.)
 
 Per program: 2 window DMAs (prev + cur), 5 template samples (patch + central
 -difference gradients), a 3x3 normal-matrix inverse in scalars, then `iters`
@@ -44,12 +47,20 @@ WIN_LANES = 256     # window width (lane dim): 128 alignment slack + patch
 
 def _win_rows(half: int) -> int:
     p = 2 * half + 1
-    r = p + 2 * MARGIN + 4 + 8  # + 8 rows of base-alignment slack
+    # + 8 rows of base-alignment slack + 8 so the 8-aligned slice window
+    # (SLICE rows) always covers [iy, iy + P + 1] for the largest legal iy
+    r = p + 2 * MARGIN + 4 + 16
     return (r + 7) // 8 * 8
 
 
 def _slab_rows(half: int) -> int:
     return (2 * half + 1 + 3 + 7) // 8 * 8  # patch + blend row, 8-aligned
+
+
+def _slice_rows(half: int) -> int:
+    # static sublane-slice height: must cover the SLAB+1 rows the bilinear
+    # taps read, plus up to 7 rows of sub-tile roll remainder
+    return _slab_rows(half) + 8
 
 
 PTS_PER_PROG = 8  # output block sublane requirement (>= 8) and DMA overlap
@@ -79,11 +90,11 @@ def _lk_kernel(bases_ref, floats_ref, prev_hbm, cur_hbm, out_ref,
         dma(cur_hbm, cur_win.at[j], sems.at[j, 1],
             bases_ref[2, i], bases_ref[3, i]).start()
 
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (WIN_LANES, WIN_LANES), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (WIN_LANES, WIN_LANES), 1)
-    slab_rows = jax.lax.broadcasted_iota(jnp.int32, (SLAB, WIN_LANES), 0)
-    slab_cols = jax.lax.broadcasted_iota(jnp.int32, (SLAB, WIN_LANES), 1)
-    pmask = ((slab_rows < P) & (slab_cols < P)).astype(jnp.float32)
+    PL = 128  # patch working width: one lane tile
+    SLICE = _slice_rows(half)
+    prow = jax.lax.broadcasted_iota(jnp.int32, (SLAB, PL), 0)
+    pcol = jax.lax.broadcasted_iota(jnp.int32, (SLAB, PL), 1)
+    pmask = ((prow < P) & (pcol < P)).astype(jnp.float32)
 
     def one_point(j):
         i = prog * PTS_PER_PROG + j
@@ -98,34 +109,37 @@ def _lk_kernel(bases_ref, floats_ref, prev_hbm, cur_hbm, out_ref,
         valid = floats_ref[4, i] > 0.5
         dma(prev_hbm, prev_win.at[j], sems.at[j, 0], by_t, bx_t).wait()
         dma(cur_hbm, cur_win.at[j], sems.at[j, 1], by_c, bx_c).wait()
-        return _align_one(prev_win[j], cur_win[j], tx, ty, ux0, uy0,
+        return _align_one(prev_win.at[j], cur_win.at[j], tx, ty, ux0, uy0,
                           valid, bx_c, by_c)
 
     def _align_one(pwin, cwin, tx, ty, ux0, uy0, valid, bx_c, by_c):
         WINR = pwin.shape[0]
-        syr = jax.lax.broadcasted_iota(jnp.int32, (SLAB, WINR), 0)
-        syk = jax.lax.broadcasted_iota(jnp.int32, (SLAB, WINR), 1)
 
         def sample(win, u, v):
-            # fully gather-free bilinear patch read: dynamic sublane offsets
-            # are not provably tile-aligned for Mosaic, so BOTH axes use
-            # banded selection matmuls: patch = Sy . win . Sx with the
-            # integer offset and bilinear fraction folded into the bands.
+            # gather-free bilinear patch read, all VPU: 8-aligned sublane
+            # slice -> dynamic sublane roll (sub-tile remainder) -> dynamic
+            # lane roll -> 4 statically-sliced taps blended by the bilinear
+            # fractions. Lane roll is cyclic but never wraps into the live
+            # P+1 columns: ixc <= WIN_LANES - P - 2.
             vtop = v - half
             utop = u - half
             iy = jnp.floor(vtop).astype(jnp.int32)
             fy = vtop - iy.astype(jnp.float32)
-            iyc = jnp.clip(iy, 0, WINR - SLAB - 1)
-            Sy = ((syk == (syr + iyc)).astype(jnp.float32) * (1.0 - fy)
-                  + (syk == (syr + iyc + 1)).astype(jnp.float32) * fy)
-            rows = jnp.dot(Sy, win, preferred_element_type=jnp.float32)
             ix = jnp.floor(utop).astype(jnp.int32)
             fx = utop - ix.astype(jnp.float32)
+            iyc = jnp.clip(iy, 0, WINR - SLICE)
             ixc = jnp.clip(ix, 0, WIN_LANES - P - 2)
-            m1 = (row_ids == (col_ids + ixc)).astype(jnp.float32)
-            m2 = (row_ids == (col_ids + ixc + 1)).astype(jnp.float32)
-            S = m1 * (1.0 - fx) + m2 * fx
-            return jnp.dot(rows, S, preferred_element_type=jnp.float32)
+            base = pl.multiple_of((iyc // 8) * 8, 8)
+            slab = win[pl.ds(base, SLICE), :]
+            slab = pltpu.roll(slab, -(iyc % 8), axis=0)
+            slab = pltpu.roll(slab, -ixc, axis=1)
+            t00 = slab[:SLAB, :PL]
+            t01 = slab[:SLAB, 1:PL + 1]
+            t10 = slab[1:SLAB + 1, :PL]
+            t11 = slab[1:SLAB + 1, 1:PL + 1]
+            top = t00 + fx * (t01 - t00)
+            bot = t10 + fx * (t11 - t10)
+            return top + fy * (bot - top)
 
         # template patch + gradients (inverse compositional)
         tpl = sample(pwin, tx, ty)
@@ -150,14 +164,19 @@ def _lk_kernel(bases_ref, floats_ref, prev_hbm, cur_hbm, out_ref,
         inv_det = 1.0 / det
 
         lo = jnp.float32(half + 1)
-        # upper bounds chosen so the slab slice clamp (iyc/ixc) can never
-        # engage for an in-bounds position: iy = floor(v) - half must stay
-        # <= WIN - SLAB - 1, ix <= WIN_LANES - P - 2
-        hi_y = jnp.float32(WIN - SLAB + half - 1)
-        hi_x = jnp.float32(WIN_LANES - half - 3)
+        # upper bounds chosen so the slice clamp (iyc/ixc) can never engage
+        # for an in-bounds position, including the +-1 gradient samples:
+        # iy = floor(v+1) - half must stay <= WIN - SLICE,
+        # ix = floor(u+1) - half <= WIN_LANES - P - 2
+        hi_y = jnp.float32(WIN - SLICE + half - 1)
+        hi_x = jnp.float32(WIN_LANES - half - 4)
 
-        def body(_, state):
-            u, v, md, active, failed, err = state
+        def cond(state):
+            i, u, v, md, active, failed, err = state
+            return (i < iters) & active
+
+        def body(state):
+            i, u, v, md, active, failed, err = state
             cur = sample(cwin, u, v)
             r = (cur - tpl + md) * pmask
             b0 = jnp.sum(r * gx)
@@ -182,7 +201,7 @@ def _lk_kernel(bases_ref, floats_ref, prev_hbm, cur_hbm, out_ref,
             v = jnp.where(active, v_new, v)
             md = jnp.where(active, md + dm, md)
             active = active & (step2 >= conv_eps * conv_eps) & ~failed
-            return u, v, md, active, failed, err
+            return i + 1, u, v, md, active, failed, err
 
         # reject points whose window clamp moved the patch off-position
         in_bounds = ((ty >= lo) & (ty <= hi_y) & (tx >= lo) & (tx <= hi_x)
@@ -190,9 +209,11 @@ def _lk_kernel(bases_ref, floats_ref, prev_hbm, cur_hbm, out_ref,
                      & (ux0 >= lo) & (ux0 <= hi_x))
         run = valid & in_bounds
 
-        u, v, md, active, failed, err = jax.lax.fori_loop(
-            0, iters, body,
-            (ux0, uy0, jnp.float32(0.0), run, jnp.bool_(False),
+        # while_loop (not fori): a typical patch converges in 3-6 GN steps,
+        # so per-point early exit cuts the serial iteration count ~5x
+        _, u, v, md, active, failed, err = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), ux0, uy0, jnp.float32(0.0), run, jnp.bool_(False),
              jnp.float32(1e9)))
         converged = run & ~active & ~failed
         return (u + bx_c.astype(jnp.float32),
