@@ -48,7 +48,20 @@ def render_frames(cfg, baseline, n):
         PlaneSequence, lateral_trajectory)
     seq = PlaneSequence(cfg.camera, depth=12.0)
     gt = lateral_trajectory(n, step=0.05)
-    return [seq.stereo_pair(T, baseline) for T in gt], gt
+    # uint8, like real camera frames off disk: ships 4x less host->device
+    # traffic than f32 (the conversion happens on device in make_frame)
+    def u8(a):
+        return np.clip(a, 0, 255).astype(np.uint8)
+    return [tuple(u8(im) for im in seq.stereo_pair(T, baseline))
+            for T in gt], gt
+
+
+def _fence(vo):
+    """Genuinely blocking fence: the axon remote platform's
+    block_until_ready returns immediately, but a device_get cannot."""
+    import jax
+    import numpy as np
+    np.asarray(jax.device_get(vo.state.T_cw))
 
 
 def time_pipeline(cfg, frames, gt, label):
@@ -58,15 +71,37 @@ def time_pipeline(cfg, frames, gt, label):
     from trackingbench_slam_tpu.utils import metrics
 
     vo = StereoVO(cfg)
+
+    # 2-frame upload prefetcher: device_put the next frames while the
+    # current one computes, so tunnel/PCIe transfer overlaps device time
+    # (the right image is only needed on the keyframe cadence)
+    pending = {}
+
+    def needs_right(i):
+        return i == 0 or (i + 1) % cfg.keyframe_every == 0
+
+    def put(i):
+        if i >= len(frames) or i in pending:
+            return
+        left, right = frames[i]
+        pending[i] = (jax.device_put(left),
+                      jax.device_put(right) if needs_right(i) else right)
+
+    def step(i):
+        put(i)
+        put(i + 1)
+        put(i + 2)
+        vo.track(*pending.pop(i))
+
     # warmup: run the first cycle (compile track + keyframe paths)
     warm = min(cfg.keyframe_every + 1, len(frames) - 1)
     for i in range(warm):
-        vo.track(*frames[i])
-    jax.block_until_ready(vo.state.prev.kp_xy)
+        step(i)
+    _fence(vo)
     t0 = time.time()
     for i in range(warm, len(frames)):
-        vo.track(*frames[i])
-    jax.block_until_ready(vo.state.prev.kp_xy)
+        step(i)
+    _fence(vo)
     dt = time.time() - t0
     n = len(frames) - warm
     fps = n / dt

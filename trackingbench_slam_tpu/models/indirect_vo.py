@@ -102,8 +102,8 @@ class IndirectVO:
         self.trajectory: list = []
 
     def track(self, img_left, img_right):
-        img_left = jnp.asarray(img_left, jnp.float32)
-        img_right = jnp.asarray(img_right, jnp.float32)
+        img_left = vo_mod.StereoVO._to_device(img_left)
+        img_right = vo_mod.StereoVO._to_device(img_right)
         if self.state is None:
             self.state = vo_mod.init_state(self.cfg, img_left)
             self.state = vo_mod.keyframe_step(self.state, img_right,

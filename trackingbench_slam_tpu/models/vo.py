@@ -212,29 +212,55 @@ class StereoVO:
         self.loop_closer = None
         self.lost = False
         self.reloc_events: list = []
+        # host mirror of the device frame counter: the keyframe cadence is
+        # pure host logic (test_vo.cpp:772 `i % 10`), so deciding it from a
+        # device scalar would cost a blocking device->host round trip per
+        # frame (~25 ms over the axon tunnel) and serialize the pipeline
+        self._fid = 0
+        self._pending_inliers = None
+
+    @staticmethod
+    def _to_device(img):
+        """Dtype-preserving upload: uint8 frames ship 4x less tunnel/PCIe
+        traffic than f32; make_frame converts on device."""
+        a = jnp.asarray(img)
+        if a.dtype not in (jnp.uint8, jnp.float32):
+            a = a.astype(jnp.float32)
+        return a
 
     def track(self, img_left, img_right=None):
-        img_left = jnp.asarray(img_left, jnp.float32)
+        img_left = self._to_device(img_left)
         if self.state is None:
             self.state = init_state(self.cfg, img_left)
             if img_right is not None:
-                img_right = jnp.asarray(img_right, jnp.float32)
                 # bootstrap: extract + stereo-map on frame 0
-                self.state = keyframe_step(self.state, img_right, self.cam,
-                                           self.cfg)
+                self.state = keyframe_step(self.state,
+                                           self._to_device(img_right),
+                                           self.cam, self.cfg)
             self.state = self.state._replace(frame_id=self.state.frame_id + 1)
+            self._fid = 1
             self.trajectory.append(self.state.T_cw)
             return self.state
         self.state = track_step(self.state, img_left, self.cam, self.cfg)
-        fid = int(self.state.frame_id)
-        self.lost = int(self.state.num_inliers) < self.min_track_inliers \
-            and fid > 1
-        if self.lost and self.loop_closer is not None:
-            self._relocalize()
-        if img_right is not None and fid % self.cfg.keyframe_every == 0:
-            img_right = jnp.asarray(img_right, jnp.float32)
-            self.state = keyframe_step(self.state, img_right, self.cam,
-                                       self.cfg)
+        self._fid += 1
+        # Tracking-loss check, one frame LATE by design: the inlier count is
+        # fetched asynchronously while the next frame computes, so the
+        # steady-state loop never blocks on a device->host round trip.
+        prev_pending = self._pending_inliers
+        h = self.state.num_inliers
+        try:
+            h.copy_to_host_async()
+        except Exception:
+            pass
+        if prev_pending is not None:
+            self.lost = (int(prev_pending) < self.min_track_inliers
+                         and self._fid > 2)
+            if self.lost and self.loop_closer is not None:
+                self._relocalize()
+        self._pending_inliers = h
+        if img_right is not None and self._fid % self.cfg.keyframe_every == 0:
+            self.state = keyframe_step(self.state, self._to_device(img_right),
+                                       self.cam, self.cfg)
         self.trajectory.append(self.state.T_cw)
         return self.state
 
