@@ -114,3 +114,52 @@ def test_kl_and_other_scores(rng):
     assert float(bow.score_chi_square(v1, v1)) > \
         float(bow.score_chi_square(v1, v2))
     assert float(bow.score_kl(v1, v1)) < float(bow.score_kl(v1, v2))
+
+
+def test_text_format_roundtrip(rng, tmp_path):
+    """DBoW2 ORBvoc.txt-format save/load preserves descent and weights
+    (TemplatedVocabulary::saveToTextFile/loadFromTextFile)."""
+    descs, _, _ = _clustered_descs(rng, n_clusters=8, per_cluster=16)
+    voc = bow.train(descs, branching=3, depth=3, seed=2)
+    p = str(tmp_path / "voc.txt")
+    bow.save_vocabulary_text(voc, p)
+    voc2 = bow.load_vocabulary_text(p, levels_up=voc.levels_up)
+    assert voc2.branching == voc.branching and voc2.depth == voc.depth
+    q = jnp.asarray(descs[:64])
+    v = jnp.ones((64,), bool)
+    w1, n1 = bow.transform(voc, q, v)
+    w2, n2 = bow.transform(voc2, q, v)
+    assert (np.asarray(w1) == np.asarray(w2)).all()
+    assert (np.asarray(n1) == np.asarray(n2)).all()
+    ww1 = np.asarray(voc.word_weights)[np.asarray(w1)]
+    ww2 = np.asarray(voc2.word_weights)[np.asarray(w2)]
+    assert np.allclose(ww1, ww2, atol=1e-4)
+
+
+def test_text_format_incomplete_tree(tmp_path):
+    """An ORBvoc-style tree with missing children and an early leaf loads,
+    and descent lands on real nodes (ties resolve to the first sibling)."""
+    # root(0) -> nodes 1,2 (k=2, L=2). Node 1 has children 3,4; node 2 is
+    # an early leaf (no children).
+    def d(b):
+        return " ".join([str(b)] * 32)
+    lines = [
+        "2 2 0 0",
+        f"0 0 {d(0)} 0",    # node 1, internal
+        f"0 1 {d(255)} 0.5",  # node 2, early leaf
+        f"1 1 {d(1)} 0.25",   # node 3, leaf
+        f"1 1 {d(3)} 0.75",   # node 4, leaf
+    ]
+    p = tmp_path / "tiny.txt"
+    p.write_text("\n".join(lines) + "\n")
+    voc = bow.load_vocabulary_text(str(p), levels_up=1)
+    assert voc.branching == 2 and voc.depth == 2
+    # query near node 3's descriptor -> word slot 0 (path 1->3)
+    q = np.zeros((2, 8), np.uint32)
+    q[0].fill(0x01010101)  # bytes == 1 -> closest to node 3
+    q[1].fill(0xFFFFFFFF)  # bytes == 255 -> early leaf, propagated down
+    w, _ = bow.transform(voc, jnp.asarray(q), jnp.ones((2,), bool))
+    w = np.asarray(w)
+    ww = np.asarray(voc.word_weights)
+    assert abs(ww[w[0]] - 0.25) < 1e-6
+    assert abs(ww[w[1]] - 0.5) < 1e-6

@@ -240,6 +240,100 @@ def load_vocabulary(path: str) -> Vocabulary:
         levels_up=int(z["levels_up"]))
 
 
+def save_vocabulary_text(voc: Vocabulary, path: str,
+                         scoring: int = 0, weighting: int = 0) -> None:
+    """Write the tree in the DBoW2 ORBvoc.txt format
+    (TemplatedVocabulary::saveToTextFile, TemplatedVocabulary.h:1432-1468):
+    header `k L scoring weighting`, then one line per non-root node in BFS
+    order: `parent_id is_leaf b0..b31 weight`. Node ids are implicit
+    (1-based read order, root = 0). Our tree is complete, so every node at
+    depth < L has exactly k children and leaves carry the idf weights."""
+    k, L = voc.branching, voc.depth
+    weights = np.asarray(voc.word_weights)
+    with open(path, "w") as f:
+        f.write(f"{k} {L} {scoring} {weighting}\n")
+        # BFS over the complete tree; id of node j at level l (1-based
+        # levels) = 1 + sum_{i<l} k^i ... node ids are implicit, but parent
+        # ids must match the reader's numbering: parent of node j at level
+        # l is (j // k) at level l-1
+        level_base = [0]  # id of first node at each level (root at 0)
+        acc = 1
+        for l in range(1, L + 1):
+            level_base.append(acc)
+            acc += k ** l
+        for l in range(1, L + 1):
+            table = np.asarray(voc.levels[l - 1]).view(np.uint8)
+            table = table.reshape(k ** l, 32)
+            for j in range(k ** l):
+                parent = 0 if l == 1 else level_base[l - 1] + j // k
+                is_leaf = 1 if l == L else 0
+                w = float(weights[j]) if l == L else 0.0
+                bs = " ".join(str(int(b)) for b in table[j])
+                f.write(f"{parent} {is_leaf} {bs} {w}\n")
+
+
+def load_vocabulary_text(path: str, levels_up: int = 2) -> Vocabulary:
+    """Load a DBoW2 text vocabulary (the standard ORB-SLAM2 ORBvoc.txt;
+    TemplatedVocabulary::loadFromTextFile, TemplatedVocabulary.h:1338-1430)
+    into the dense-levels layout.
+
+    DBoW2 trees may be incomplete (nodes with < k children, leaves above
+    the bottom level). Those are densified: missing child slots repeat the
+    first real sibling (placed first, so argmin ties resolve to the real
+    node and tree descent matches the reference's min-Hamming walk), and
+    early leaves are propagated down as their own sole child so every word
+    lives at depth L. Word ids therefore differ from DBoW2's leaf numbering
+    but are internally consistent; weights ride along."""
+    with open(path) as f:
+        k, L, _scoring, _weighting = (int(float(x))
+                                      for x in f.readline().split()[:4])
+        parents, leaf_flags, descs, weights = [], [], [], []
+        for line in f:
+            parts = line.split()
+            if len(parts) < 35:
+                continue
+            parents.append(int(parts[0]))
+            leaf_flags.append(int(float(parts[1])))
+            descs.append([int(x) for x in parts[2:34]])
+            weights.append(float(parts[34]))
+    n = len(parents)
+    children = [[] for _ in range(n + 1)]
+    for i in range(n):
+        children[parents[i]].append(i + 1)  # ids are 1-based, root = 0
+    desc_of = np.zeros((n + 1, 32), np.uint8)
+    desc_of[1:] = np.asarray(descs, np.uint8)
+    weight_of = np.zeros((n + 1,), np.float32)
+    weight_of[1:] = np.asarray(weights, np.float32)
+
+    level_tables = [np.zeros((k ** l, 32), np.uint8) for l in range(1, L + 1)]
+    word_weights = np.zeros((k ** L,), np.float32)
+
+    # frontier: dense slot -> source node id (or leaf carried downward)
+    frontier = {0: 0}
+    for l in range(1, L + 1):
+        table = level_tables[l - 1]
+        nxt = {}
+        for slot, nid in frontier.items():
+            kids = children[nid]
+            if not kids or (l > 1 and leaf_flags[nid - 1] == 1):
+                kids = [nid]  # early leaf: propagate itself down
+            fill = (kids + [kids[0]] * k)[:k]
+            for c, kid in enumerate(fill):
+                dslot = slot * k + c
+                table[dslot] = desc_of[kid]
+                if c < len(kids):
+                    nxt[dslot] = kid
+                    if l == L:
+                        word_weights[dslot] = weight_of[kid]
+        frontier = nxt
+
+    return Vocabulary(
+        levels=tuple(jnp.asarray(t.view(np.uint32).reshape(-1, 8))
+                     for t in level_tables),
+        word_weights=jnp.asarray(word_weights),
+        branching=k, depth=L, levels_up=levels_up)
+
+
 class BowDatabase:
     """Place-recognition database (DBoW2 TemplatedDatabase behavior): add
     BowVectors, query top-k most similar images in one batched score."""
