@@ -236,12 +236,15 @@ def search_by_bow(f1_desc, f1_valid, f1_node, f1_angle,
                    angles1=f1_angle, angles2=f2_angle)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "scale", "use_ransac", "equalized"))
+@functools.partial(jax.jit, static_argnames=("cfg", "scale", "use_ransac",
+                                             "equalized", "num_levels"))
 def search_by_opflow(f1: FrameState, f2: FrameState, key: jax.Array,
                      cfg: MatcherConfig = MatcherConfig(),
                      scale: float = 0.8,
                      use_ransac: bool = True,
-                     equalized: bool = False):
+                     equalized: bool = False,
+                     num_levels: int | None = None,
+                     init_offset: jax.Array | None = None):
     """Pyramidal LK tracking of F2's keypoints into F1
     (matcher.cpp:724-768: cv::calcOpticalFlowPyrLK 21x21, 3 levels, then
     optional CLAHE and F-matrix RANSAC rejection).
@@ -252,7 +255,10 @@ def search_by_opflow(f1: FrameState, f2: FrameState, key: jax.Array,
     VO loop does at test_vo.cpp:716-738).
     """
     res = lk_pyramidal(f2.lk_pyr, f1.lk_pyr, f2.kp_xy, f2.valid, 0.5,
-                       half=10, iters=30, num_levels=len(f2.lk_pyr))
+                       half=10, iters=30,
+                       num_levels=(num_levels if num_levels is not None
+                                   else len(f2.lk_pyr)),
+                       init_offset=init_offset)
     h, w = f1.pyramid[0].shape
     inb = ((res.xy[:, 0] >= 0) & (res.xy[:, 0] < w)
            & (res.xy[:, 1] >= 0) & (res.xy[:, 1] < h))

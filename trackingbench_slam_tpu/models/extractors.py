@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from trackingbench_slam_tpu.geometry import camera as cam_mod
 from trackingbench_slam_tpu.models.frame import FrameState, with_keypoints
 from trackingbench_slam_tpu.ops import fast as fast_ops
+from trackingbench_slam_tpu.ops import image as image_ops
 from trackingbench_slam_tpu.ops import orb as orb_ops
 from trackingbench_slam_tpu.ops.pallas.fast_kernel import fast_score_map_pallas
 from trackingbench_slam_tpu.ops.pallas.patch_kernel import (
@@ -108,16 +109,19 @@ def extract_orb(frame: FrameState, cam: cam_mod.CameraParams,
         cell = max(int(config.cell_size * s), 8)
         xy, resp, valid = fast_ops.grid_topk(score, cell, per_cell=4,
                                              budget=budgets[lvl])
+        # 7x7 descriptor blur (ORBextractor.cpp:884,960) computed here on
+        # demand: only keyframes run extraction, so tracking frames never
+        # pay for it (make_frame does not blur)
+        blurred = image_ops.gaussian_blur(img)
         if jax.default_backend() == "tpu":
             # gather-free path: window-DMA patches + one-matmul rBRIEF
             patches = extract_patches32(img, xy, valid)
             angle = jnp.where(valid, ic_angle_from_patches(patches), 0.0)
-            bpatches = extract_patches32(frame.blurred[lvl], xy, valid)
+            bpatches = extract_patches32(blurred, xy, valid)
             desc = brief_from_patches(bpatches, angle, valid)
         else:
             angle = orb_ops.ic_angle(img, xy, valid)
-            desc = orb_ops.brief_descriptors(frame.blurred[lvl], xy, angle,
-                                             valid)
+            desc = orb_ops.brief_descriptors(blurred, xy, angle, valid)
         all_xy.append(xy / s)  # rescale to level-0 coords (ORBextractor.cpp:968-974)
         all_resp.append(resp)
         all_valid.append(valid)

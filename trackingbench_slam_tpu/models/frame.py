@@ -37,12 +37,11 @@ import jax.numpy as jnp
 
 from trackingbench_slam_tpu.geometry import camera as cam_mod
 from trackingbench_slam_tpu.geometry import se3
-from trackingbench_slam_tpu.ops.image import build_pyramid, gaussian_blur
+from trackingbench_slam_tpu.ops.image import build_pyramid
 
 
 class FrameState(NamedTuple):
     pyramid: Tuple[jax.Array, ...]
-    blurred: Tuple[jax.Array, ...]  # per-level blurred images for descriptors
     lk_pyr: Tuple[jax.Array, ...]   # dedicated scale-0.5 pyramid for LK
     # (cv::calcOpticalFlowPyrLK builds its own half-scale pyramid internally;
     # the frame pyramid's 0.8 factor gives LK almost no convergence range)
@@ -88,17 +87,21 @@ LK_LEVELS = 4  # half-scale LK pyramid depth (cv::calcOpticalFlowPyrLK default 3
 
 def make_frame(img: jax.Array, capacity: int, num_levels: int, scale: float,
                T_cw: jax.Array | None = None,
-               blur: bool = True) -> FrameState:
-    """Build pyramid + empty feature arrays (Frame ctor, Frame.cpp:13-33)."""
+               blur: bool = False) -> FrameState:
+    """Build pyramid + empty feature arrays (Frame ctor, Frame.cpp:13-33).
+
+    The 7x7 descriptor blur (ORBextractor.cpp:884,960) is NOT computed
+    here: only keyframes extract descriptors, so extract_orb blurs its own
+    levels on demand — tracking frames save ~3 ms/frame. `blur` is accepted
+    for backward compatibility and ignored."""
+    del blur
     img = img.astype(jnp.float32)
     pyr = tuple(build_pyramid(img, num_levels, scale))
-    blurred = tuple(gaussian_blur(p) for p in pyr) if blur else pyr
     lk_pyr = tuple(build_pyramid(img, LK_LEVELS, 0.5))
     feats = empty_features(capacity, img.dtype)
     if T_cw is None:
         T_cw = jnp.eye(4, dtype=jnp.float32)
-    return FrameState(pyramid=pyr, blurred=blurred, lk_pyr=lk_pyr,
-                      T_cw=T_cw, **feats)
+    return FrameState(pyramid=pyr, lk_pyr=lk_pyr, T_cw=T_cw, **feats)
 
 
 def with_keypoints(frame: FrameState, cam: cam_mod.CameraParams,

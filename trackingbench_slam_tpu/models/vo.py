@@ -45,6 +45,10 @@ class VOState(NamedTuple):
     frame_id: jax.Array
     key: jax.Array
     num_inliers: jax.Array
+    # constant-velocity flow prior: median image-space flow of the last
+    # tracked frame, used to initialize LK so the coarse pyramid levels
+    # (and their per-point template setup cost) can be skipped
+    flow: jax.Array = None
 
 
 def init_state(cfg: PipelineConfig, first_img: jax.Array) -> VOState:
@@ -59,6 +63,7 @@ def init_state(cfg: PipelineConfig, first_img: jax.Array) -> VOState:
         frame_id=jnp.asarray(0, jnp.int32),
         key=jax.random.PRNGKey(0),
         num_inliers=jnp.asarray(0, jnp.int32),
+        flow=jnp.zeros((2,), jnp.float32),
     )
 
 
@@ -70,9 +75,19 @@ def track_step(state: VOState, img: jax.Array, cam: cam_mod.CameraParams,
     f_cur = make_frame(img, cfg.extractor.num_features,
                        cfg.pyramid.num_levels, cfg.pyramid.scale_factor)
     key, sub = jax.random.split(state.key)
+    nlv = cfg.lk_track_levels if cfg.lk_track_levels > 0 else None
     res, xy = matchers.search_by_opflow(
         f_cur, state.prev, sub, cfg.matcher,
-        scale=cfg.pyramid.scale_factor, use_ransac=True)
+        scale=cfg.pyramid.scale_factor, use_ransac=True,
+        num_levels=nlv,
+        init_offset=state.flow if nlv is not None else None)
+    # refresh the constant-velocity prior: median flow of tracked points
+    # (median, not mean: robust to the stragglers RANSAC hasn't seen yet)
+    delta = xy - state.prev.kp_xy
+    med = jnp.nanmedian(jnp.where(res.ok[:, None], delta,
+                                  jnp.nan), axis=0)
+    good = jnp.sum(res.ok) >= 20
+    new_flow = jnp.where(good & jnp.all(jnp.isfinite(med)), med, state.flow)
     # install tracked keypoints; MapPoint links ride along the identity
     # index matching (test_vo.cpp:732-738)
     f_cur = with_keypoints(
@@ -101,7 +116,7 @@ def track_step(state: VOState, img: jax.Array, cam: cam_mod.CameraParams,
     return state._replace(prev=f_cur, T_cw=opt.T_cw, key=key,
                           frame_id=state.frame_id + 1,
                           num_inliers=opt.num_inliers,
-                          map=new_map)
+                          map=new_map, flow=new_flow)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -137,17 +152,45 @@ def keyframe_step(state: VOState, img_right: jax.Array,
     # stereo: LK left -> right at level 0 rows (rectified), depth = bf/du
     right = make_frame(img_right, 1, cfg.pyramid.num_levels,
                        cfg.pyramid.scale_factor, blur=False)
-    lk = lk_pyramidal(f.lk_pyr, right.lk_pyr, f.kp_xy, f.valid,
-                      0.5, half=10, iters=30, num_levels=len(f.lk_pyr))
+    # disparity prior: features with landmarks know their depth, so their
+    # expected disparity bf/z is exact; the rest start from the median of
+    # those. With the prior, 2 half-scale pyramid levels (+-24 px residual
+    # at full res) replace the full pyramid — each level costs ~2 us/point
+    # of template setup. Falls back to the full pyramid when the map is
+    # still empty (bootstrap keyframe).
+    M = state.map.capacity
+    has_mp = (f.map_idx >= 0) & f.valid
+    mp = jnp.clip(f.map_idx, 0, M - 1)
+    p_c = se3.transform_points(f.T_cw, state.map.pos[mp])
+    z = p_c[:, 2]
+    known = has_mp & state.map.valid[mp] & (z > 0.2)
+    disp = cam.bf / jnp.maximum(z, 0.2)
+    med_disp = jnp.nanmedian(jnp.where(known, disp, jnp.nan))
+    have_prior = jnp.isfinite(med_disp) & (jnp.sum(known) >= 10)
+    disp_i = jnp.where(known, disp, jnp.where(have_prior, med_disp, 0.0))
+    prior = jnp.stack([-disp_i, jnp.zeros_like(disp_i)], axis=-1)
+    full = lambda: lk_pyramidal(f.lk_pyr, right.lk_pyr, f.kp_xy, f.valid,
+                                0.5, half=10, iters=30,
+                                num_levels=len(f.lk_pyr))
+    primed = lambda: lk_pyramidal(f.lk_pyr, right.lk_pyr, f.kp_xy, f.valid,
+                                  0.5, half=10, iters=30, num_levels=2,
+                                  init_offset=prior)
+    lk = jax.lax.cond(have_prior, primed, full)
     # forward-backward consistency: track the right-image match back into
     # the left image; a healthy stereo match returns to its keypoint within
     # a pixel. Weak-texture patches "converge" at garbage positions in both
     # LK implementations — the round trip is the reliable rejector (the
     # reference leans on its F-matrix RANSAC for the same purpose,
     # matcher.cpp:853-881; rectified stereo admits this stronger check).
+    # single level suffices for the check when initialized at the expected
+    # landing point (the original left keypoint): a healthy patch snaps
+    # back sub-pixel; an ambiguous/textureless one drifts out of the +-12 px
+    # kernel window or converges off-target, and both get rejected. The
+    # full-pyramid version would re-pay ~2 us/point of template setup per
+    # level for the same verdict.
     lk_back = lk_pyramidal(right.lk_pyr, f.lk_pyr, lk.xy, f.valid,
-                           0.5, half=10, iters=30,
-                           num_levels=len(f.lk_pyr))
+                           0.5, half=10, iters=10, num_levels=1,
+                           init_offset=f.kp_xy - lk.xy)
     fb_ok = (lk_back.converged
              & (jnp.sum((lk_back.xy - f.kp_xy) ** 2, axis=-1) < 1.0))
     depth, disp_ok = tri.stereo_depth(cam.bf, f.kp_xy[:, 0], lk.xy[:, 0])

@@ -131,13 +131,20 @@ def align_patches(cur_img: jax.Array,
 def lk_pyramidal(prev_pyr: tuple, cur_pyr: tuple, pts: jax.Array,
                  valid: jax.Array, scale: float,
                  half: int = 10, iters: int = 30,
-                 num_levels: int = 3) -> AlignResult:
+                 num_levels: int = 3,
+                 init_offset: jax.Array | None = None) -> AlignResult:
     """Pyramidal Lucas-Kanade, the searchByOPFlow engine
     (matcher.cpp:745: cv::calcOpticalFlowPyrLK(..., Size(21,21), 3)).
 
     prev_pyr/cur_pyr: tuples of (H_l, W_l) images, level 0 = full res.
     pts: (N, 2) level-0 positions in prev. Returns refined level-0 positions
     in cur. Coarse-to-fine over `num_levels` levels.
+
+    init_offset ((2,) or (N, 2), level-0 px): motion prior added to the
+    starting positions. With a decent prior (e.g. constant-velocity flow)
+    the coarse pyramid levels become unnecessary — each level costs ~2 us
+    per point in template setup alone, so callers with a prior should also
+    lower num_levels.
 
     On TPU every level runs the fused Pallas window-DMA kernel
     (ops/pallas/lk_kernel.py) — the XLA gather path costs seconds per frame
@@ -147,7 +154,8 @@ def lk_pyramidal(prev_pyr: tuple, cur_pyr: tuple, pts: jax.Array,
 
     use_pallas = jax.default_backend() == "tpu"
     levels = min(num_levels, len(prev_pyr))
-    xy = pts * (scale ** (levels - 1))
+    start = pts if init_offset is None else pts + init_offset
+    xy = start * (scale ** (levels - 1))
     conv = valid
     err = jnp.full((pts.shape[0],), jnp.inf, pts.dtype)
     for lvl in range(levels - 1, -1, -1):

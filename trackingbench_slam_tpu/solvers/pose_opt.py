@@ -83,10 +83,41 @@ def _huber_rho(chi2: jax.Array, delta: float) -> jax.Array:
     return jnp.where(e <= delta, chi2, 2.0 * delta * e - delta * delta)
 
 
+def _chol6_solve(A, b):
+    """Unrolled 6x6 SPD Cholesky solve in plain scalar ops.
+
+    lax.linalg.cholesky on a 6x6 is a standalone blocked kernel with ~100us
+    of launch latency on TPU; 40 LM iterations paid it 40 times. Unrolled,
+    the solve fuses into the surrounding program and costs ~100 scalar ops."""
+    n = 6
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = A[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-12))
+            else:
+                L[i][j] = s / L[j][j]
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
+
+
 def _solve_damped(H, b, lam):
     A = H + lam * jnp.eye(6, dtype=H.dtype)
-    L, lower = jax.scipy.linalg.cho_factor(A, lower=True)
-    return jax.scipy.linalg.cho_solve((L, lower), b)
+    return _chol6_solve(A, b)
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "huber_delta"))

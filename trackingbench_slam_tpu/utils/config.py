@@ -173,6 +173,12 @@ class PipelineConfig:
     map: MapConfig = MapConfig()
     mesh: MeshConfig = MeshConfig()
     keyframe_every: int = 10  # reference inserts a KF every 10 frames (test_vo.cpp:772)
+    # pyramid levels for frame-to-frame LK. With the constant-velocity flow
+    # prior carried in VOState, 2 half-scale levels cover ~+-24 px of
+    # residual motion at full res; each extra level costs ~2 us/point of
+    # template setup on TPU. Set to 0 to use the full LK pyramid (the
+    # reference's cv::calcOpticalFlowPyrLK maxLevel=3 behavior) and no prior.
+    lk_track_levels: int = 2
     dtype: str = "float32"
 
     def to_json(self) -> str:
