@@ -36,6 +36,7 @@ import jax.numpy as jnp
 
 from trackingbench_slam_tpu.geometry import se3
 from trackingbench_slam_tpu.ops import hamming
+from trackingbench_slam_tpu.ops import packing
 
 
 class MapState(NamedTuple):
@@ -142,28 +143,24 @@ def add_points(m: MapState, pos: jax.Array, desc: jax.Array,
     with capacity-sentinel for dropped/not-wanted entries)."""
     dest = free_slot_destinations(~m.valid, want)
     K = m.obs_kf.shape[1]
-
-    def scat(arr, vals):
-        return arr.at[dest].set(vals, mode="drop")
-
+    n = pos.shape[0]
+    ones = jnp.ones((n,), jnp.int32)
+    no_obs = jnp.full((n, K), -1, jnp.int32)
+    (pos_, desc_, normal_, min_d, max_d, valid_, ref_kf_, ref_level_,
+     n_vis, n_fnd, n_fail, obs_kf_, obs_feat_,
+     obs_count_) = packing.scatter_rows_set(
+        [m.pos, m.desc, m.normal, m.min_dist, m.max_dist, m.valid,
+         m.ref_kf, m.ref_level, m.n_visible, m.n_found, m.n_fail_reproj,
+         m.obs_kf, m.obs_feat, m.obs_count],
+        dest,
+        [pos, desc, normal, min_dist, max_dist, jnp.ones((n,), bool),
+         ref_kf.astype(jnp.int32), ref_level.astype(jnp.int32),
+         ones, ones, ones * 0, no_obs, no_obs, ones * 0])
     new = m._replace(
-        pos=scat(m.pos, pos),
-        desc=scat(m.desc, desc),
-        normal=scat(m.normal, normal),
-        min_dist=m.min_dist.at[dest].set(min_dist, mode="drop"),
-        max_dist=m.max_dist.at[dest].set(max_dist, mode="drop"),
-        valid=m.valid.at[dest].set(True, mode="drop"),
-        ref_kf=m.ref_kf.at[dest].set(ref_kf, mode="drop"),
-        ref_level=m.ref_level.at[dest].set(ref_level, mode="drop"),
-        n_visible=m.n_visible.at[dest].set(1, mode="drop"),
-        n_found=m.n_found.at[dest].set(1, mode="drop"),
-        n_fail_reproj=m.n_fail_reproj.at[dest].set(0, mode="drop"),
-        obs_kf=m.obs_kf.at[dest].set(jnp.full((pos.shape[0], K), -1, jnp.int32),
-                                     mode="drop"),
-        obs_feat=m.obs_feat.at[dest].set(
-            jnp.full((pos.shape[0], K), -1, jnp.int32), mode="drop"),
-        obs_count=m.obs_count.at[dest].set(0, mode="drop"),
-    )
+        pos=pos_, desc=desc_, normal=normal_, min_dist=min_d,
+        max_dist=max_d, valid=valid_, ref_kf=ref_kf_, ref_level=ref_level_,
+        n_visible=n_vis, n_found=n_fnd, n_fail_reproj=n_fail,
+        obs_kf=obs_kf_, obs_feat=obs_feat_, obs_count=obs_count_)
     return new, dest
 
 

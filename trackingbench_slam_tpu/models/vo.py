@@ -32,6 +32,7 @@ from trackingbench_slam_tpu.matchers import matcher as matchers
 from trackingbench_slam_tpu.models import map as map_mod
 from trackingbench_slam_tpu.models.extractors import extract_orb
 from trackingbench_slam_tpu.models.frame import FrameState, make_frame, with_keypoints
+from trackingbench_slam_tpu.ops import packing
 from trackingbench_slam_tpu.ops.align import lk_pyramidal
 from trackingbench_slam_tpu.solvers import pose_opt
 from trackingbench_slam_tpu.utils.config import PipelineConfig
@@ -134,20 +135,18 @@ def keyframe_step(state: VOState, img_right: jax.Array,
     fresh = extract_orb(f, cam, cfg.extractor, cfg.pyramid,
                         suppress_xy=f.kp_xy, suppress_valid=f.valid)
     dest = map_mod.free_slot_destinations(~f.valid, fresh.valid)
-
-    def scat(old, new):
-        return old.at[dest].set(new, mode="drop")
-
-    f = f._replace(
-        kp_xy=scat(f.kp_xy, fresh.kp_xy),
-        kp_level=scat(f.kp_level, fresh.kp_level),
-        kp_angle=scat(f.kp_angle, fresh.kp_angle),
-        kp_response=scat(f.kp_response, fresh.kp_response),
-        desc=scat(f.desc, fresh.desc),
-        bearing=scat(f.bearing, fresh.bearing),
-        map_idx=scat(f.map_idx, jnp.full((f.capacity,), -1, jnp.int32)),
-        valid=f.valid.at[dest].set(True, mode="drop"),
-    )
+    (kp_xy, kp_level, kp_angle, kp_response, desc, bearing, map_idx,
+     valid) = packing.scatter_rows_set(
+        [f.kp_xy, f.kp_level, f.kp_angle, f.kp_response, f.desc,
+         f.bearing, f.map_idx, f.valid],
+        dest,
+        [fresh.kp_xy, fresh.kp_level, fresh.kp_angle, fresh.kp_response,
+         fresh.desc, fresh.bearing,
+         jnp.full((f.capacity,), -1, jnp.int32),
+         jnp.ones((f.capacity,), bool)])
+    f = f._replace(kp_xy=kp_xy, kp_level=kp_level, kp_angle=kp_angle,
+                   kp_response=kp_response, desc=desc, bearing=bearing,
+                   map_idx=map_idx, valid=valid)
 
     # stereo: LK left -> right at level 0 rows (rectified), depth = bf/du
     right = make_frame(img_right, 1, cfg.pyramid.num_levels,
@@ -223,11 +222,13 @@ def keyframe_step(state: VOState, img_right: jax.Array,
     # link frame features to their new landmarks
     got = want & (slots < m.capacity)
     f = f._replace(map_idx=jnp.where(got, slots, f.map_idx))
-    # observations for new landmarks + existing tracked landmarks
+    # observations for new landmarks + existing tracked landmarks — one
+    # fused call (disjoint row sets, same keyframe)
     feat_idx = jnp.arange(f.capacity, dtype=jnp.int32)
-    m = map_mod.add_observations(m, slots, kf_slot, feat_idx, got)
     tracked = f.valid & (f.map_idx >= 0) & ~got
-    m = map_mod.add_observations(m, f.map_idx, kf_slot, feat_idx, tracked)
+    m = map_mod.add_observations(
+        m, jnp.where(got, slots, f.map_idx), kf_slot, feat_idx,
+        got | tracked)
     kfs, _ = map_mod.insert_keyframe(state.kfs, f, state.frame_id,
                                      slot=kf_slot)
     return state._replace(prev=f, map=m, kfs=kfs)
