@@ -30,21 +30,71 @@ def _normalize_points(pts: jax.Array):
     return (pts - mean) * s, T
 
 
+def _chol_unrolled(A: jax.Array, n: int):
+    """Unrolled Cholesky factor of a small SPD matrix as Python lists of
+    scalars — fuses into the surrounding program (lax.linalg on tiny
+    matrices is a standalone blocked kernel with ~100us launch latency,
+    and vmapping 256 of them dominated the RANSAC)."""
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = A[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-20))
+            else:
+                L[i][j] = s / L[j][j]
+    return L
+
+
+def _chol_apply(L, b, n: int) -> jax.Array:
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
+
+
+def _min_eigvec(M: jax.Array, iters: int = 4) -> jax.Array:
+    """Smallest eigenvector of a small symmetric PSD matrix via inverse
+    iteration: factor (M + eps*I) once with an unrolled Cholesky, then a few
+    triangular solves. Converges at rate lambda_min/lambda_2 — 3-4 rounds
+    suffice even for near-degenerate eight-point systems."""
+    n = M.shape[-1]
+    eps = 1e-7 * (jnp.trace(M) + 1e-12)
+    A = M + eps * jnp.eye(n, dtype=M.dtype)
+    L = _chol_unrolled(A, n)
+    v = jnp.ones((n,), M.dtype) / jnp.sqrt(jnp.float32(n))
+    for _ in range(iters):
+        w = _chol_apply(L, v, n)
+        v = w / jnp.maximum(jnp.linalg.norm(w), 1e-20)
+    return v
+
+
 def _eight_point(p1: jax.Array, p2: jax.Array) -> jax.Array:
     """F from >= 8 correspondences (p1, p2: (K, 2), normalized). Returns (3,3).
-    Null vector via eigh of A^T A; rank-2 enforced by SVD."""
+    Null vector via power iteration on A^T A; rank-2 enforced by removing
+    the smallest singular direction (F <- F - (F v3) v3^T)."""
     x1, y1 = p1[:, 0], p1[:, 1]
     x2, y2 = p2[:, 0], p2[:, 1]
     ones = jnp.ones_like(x1)
     A = jnp.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, ones],
                   axis=-1)  # (K, 9)
-    AtA = A.T @ A
-    _, v = jnp.linalg.eigh(AtA)
-    f = v[:, 0]
+    AtA = jnp.dot(A.T, A, precision=jax.lax.Precision.HIGHEST)
+    f = _min_eigvec(AtA)
     F = f.reshape(3, 3)
-    u, s, vt = jnp.linalg.svd(F)
-    s = s.at[2].set(0.0)
-    return (u * s[None, :]) @ vt
+    # rank-2: v3 = right singular vector of the smallest singular value
+    v3 = _min_eigvec(jnp.dot(F.T, F, precision=jax.lax.Precision.HIGHEST))
+    return F - jnp.outer(F @ v3, v3)
 
 
 def _sampson_epipolar_dist(F: jax.Array, p1: jax.Array, p2: jax.Array) -> jax.Array:
