@@ -234,6 +234,18 @@ def keyframe_step(state: VOState, img_right: jax.Array,
     return state._replace(prev=f, map=m, kfs=kfs)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_and_keyframe_step(state: VOState, img_left: jax.Array,
+                            img_right: jax.Array, cam: cam_mod.CameraParams,
+                            cfg: PipelineConfig) -> VOState:
+    """track_step + keyframe_step fused into ONE device program for
+    keyframe-cadence frames: over a remote transport each dependent
+    dispatch costs a round trip, and on-device XLA can overlap the two
+    stages' work."""
+    state = track_step(state, img_left, cam, cfg)
+    return keyframe_step(state, img_right, cam, cfg)
+
+
 class StereoVO:
     """Host-side driver for the stereo pipeline (the role of test_kitti's
     main loop). Keeps everything else on device.
@@ -285,8 +297,15 @@ class StereoVO:
             self._fid = 1
             self.trajectory.append(self.state.T_cw)
             return self.state
-        self.state = track_step(self.state, img_left, self.cam, self.cfg)
         self._fid += 1
+        is_kf = (img_right is not None
+                 and self._fid % self.cfg.keyframe_every == 0)
+        if is_kf:
+            self.state = track_and_keyframe_step(
+                self.state, img_left, self._to_device(img_right),
+                self.cam, self.cfg)
+        else:
+            self.state = track_step(self.state, img_left, self.cam, self.cfg)
         # Tracking-loss check, one frame LATE by design: the inlier count is
         # fetched asynchronously while the next frame computes, so the
         # steady-state loop never blocks on a device->host round trip.
@@ -302,9 +321,6 @@ class StereoVO:
             if self.lost and self.loop_closer is not None:
                 self._relocalize()
         self._pending_inliers = h
-        if img_right is not None and self._fid % self.cfg.keyframe_every == 0:
-            self.state = keyframe_step(self.state, self._to_device(img_right),
-                                       self.cam, self.cfg)
         self.trajectory.append(self.state.T_cw)
         return self.state
 
