@@ -141,10 +141,25 @@ def _lk_kernel(bases_ref, floats_ref, prev_hbm, cur_hbm, out_ref,
             bot = t10 + fx * (t11 - t10)
             return top + fy * (bot - top)
 
-        # template patch + gradients (inverse compositional)
-        tpl = sample(pwin, tx, ty)
-        gx = 0.5 * (sample(pwin, tx + 1.0, ty) - sample(pwin, tx - 1.0, ty))
-        gy = 0.5 * (sample(pwin, tx, ty + 1.0) - sample(pwin, tx, ty - 1.0))
+        # template patch + gradients (inverse compositional) from ONE
+        # enlarged sample: bilinear sampling is linear in the integer taps,
+        # so sample(u+1, v) is exactly sample(u, v) shifted one column —
+        # one (tx-1, ty-1)-origin sample + static shifts replaces 5 samples
+        # (valid extent P+2 <= SLAB-1 rows / PL-1 cols; pads land outside
+        # pmask)
+        S = sample(pwin, tx - 1.0, ty - 1.0)
+
+        def shifted(dr, dc):
+            # static cyclic rolls (jnp.pad does not lower in Mosaic); the
+            # wrapped rows/cols land at indices >= P, outside pmask.
+            # pltpu.roll requires non-negative static shifts: roll by the
+            # cyclic complement.
+            r = pltpu.roll(S, SLAB - dr, 0) if dr else S
+            return pltpu.roll(r, PL - dc, 1) if dc else r
+
+        tpl = shifted(1, 1)
+        gx = 0.5 * (shifted(1, 2) - shifted(1, 0))
+        gy = 0.5 * (shifted(2, 1) - shifted(0, 1))
 
         h00 = jnp.sum(gx * gx * pmask) + 1e-6
         h01 = jnp.sum(gx * gy * pmask)
