@@ -196,3 +196,70 @@ def test_ransac_rejects_bad_flow(rng):
     # outliers displaced along their own epipolar line are undetectable by
     # any F-based test, so allow a small leak
     assert inl[bad].mean() <= 0.15
+
+
+def test_clahe_expands_local_contrast():
+    """ops.image.clahe: a low-contrast image (values squeezed into [100, 130])
+    comes out with materially higher local dynamic range, and a constant image
+    stays constant (no amplified noise from empty histograms)."""
+    from trackingbench_slam_tpu.ops import image as image_ops
+    img = make_textured_image(160, 200, seed=3)
+    low = img / 255.0 * 30.0 + 100.0  # squeeze contrast
+    out = np.asarray(image_ops.clahe(jnp.asarray(low, jnp.float32)))
+    assert out.shape == low.shape
+    assert np.isfinite(out).all()
+    # clip=3 limits the slope, so the gain is real but bounded...
+    assert out.std() > 1.3 * low.std(), (out.std(), low.std())
+    assert out.min() >= 0.0 and out.max() <= 255.0
+    # ...while a high clip approaches full adaptive equalization
+    out_hi = np.asarray(image_ops.clahe(jnp.asarray(low, jnp.float32),
+                                        clip=40.0))
+    assert out_hi.std() > 3.5 * low.std(), (out_hi.std(), low.std())
+    flat = np.asarray(image_ops.clahe(jnp.full((64, 64), 55.0, np.float32)))
+    assert flat.std() < 10.0  # clip limit keeps a flat tile from exploding
+
+
+def test_opflow_equalized_flag_has_effect_and_tracks_low_contrast():
+    """The `equalized` flag (Frame::Equalize wiring, matcher.cpp:737-742)
+    must actually change the computation and still track correctly on a
+    low-contrast pair."""
+    img = make_textured_image(240, 320, seed=7)
+    low = img / 255.0 * 22.0 + 90.0  # low-contrast scene
+    dx, dy = 3.0, 1.0
+    low2 = np.roll(np.roll(low, int(dy), axis=0), int(dx), axis=1)
+    cam = cam_mod.CameraParams.from_config(
+        CameraConfig(width=320, height=240, fx=300, fy=300, cx=160, cy=120))
+    ecfg = ExtractorConfig(num_features=256, min_threshold=4, cell_size=16)
+    pcfg = PyramidConfig(num_levels=3, scale_factor=0.8)
+    f2 = make_frame(jnp.asarray(low, jnp.float32), 256, 3, 0.8)
+    f2 = extract_orb(f2, cam, ecfg, pcfg)
+    f1 = make_frame(jnp.asarray(low2, jnp.float32), 256, 3, 0.8)
+    res_eq, xy_eq = M.search_by_opflow(f1, f2, jax.random.PRNGKey(0),
+                                       use_ransac=False, equalized=True)
+    res_raw, xy_raw = M.search_by_opflow(f1, f2, jax.random.PRNGKey(0),
+                                         use_ransac=False, equalized=False)
+    ok = np.asarray(res_eq.ok)
+    assert ok.sum() > 50
+    flow = np.asarray(xy_eq) - np.asarray(f2.kp_xy)
+    good = (np.abs(flow[ok] - [dx, dy]) < 0.5).all(axis=1)
+    assert good.mean() > 0.8, good.mean()
+    # the flag is not a no-op: per-point residual errors differ
+    assert not np.allclose(np.asarray(res_eq.dist), np.asarray(res_raw.dist))
+
+
+def test_rotation_histogram_empty_bins_not_whitelisted(rng):
+    """Zero-vote edge (VERDICT weak #8): when every match lands in one bin,
+    the other top-k slots are empty and must not whitelist arbitrary bins."""
+    n = 64
+    a1 = np.full(n, 0.05, np.float32)
+    a2 = np.zeros(n, np.float32)
+    idx = np.arange(n, dtype=np.int32)
+    ok = np.ones(n, bool)
+    keep = np.asarray(hamming.rotation_histogram_mask(
+        jnp.asarray(a1), jnp.asarray(a2), jnp.asarray(idx), jnp.asarray(ok)))
+    assert keep.all()  # the single populated bin survives
+    # and with zero accepted matches nothing gets through
+    keep0 = np.asarray(hamming.rotation_histogram_mask(
+        jnp.asarray(a1), jnp.asarray(a2), jnp.asarray(idx),
+        jnp.zeros(n, bool)))
+    assert not keep0.any()

@@ -70,10 +70,6 @@ def undistort_normalized(cam: CameraParams, xy_d: jax.Array, iters: int = 8) -> 
     this jit-friendly.
     """
 
-    def body(i, xy):
-        d = distort_normalized(cam, xy) - xy
-        return xy_d - (d)
-
     xy = xy_d
     for _ in range(iters):
         # x_{n+1} = x_d - distortion_residual(x_n)

@@ -171,7 +171,8 @@ def features_align(cam: cam_mod.CameraParams,
                    cand_valid: jax.Array,
                    cfg: DirectConfig = DirectConfig(),
                    num_levels: int = 5,
-                   scale_factor: float = 0.8) -> FeatureAlignResult:
+                   scale_factor: float = 0.8,
+                   cand_level: jax.Array | None = None) -> FeatureAlignResult:
     """Align candidate landmarks into the current frame against ONE reference
     keyframe (FeaturesAlign + FindMatchDirect, matcher.cpp:980-1068,
     1498-1620).
@@ -183,7 +184,11 @@ def features_align(cam: cam_mod.CameraParams,
     source image.
 
     cand_pos_w: (C, 3) world positions; cand_px_ref: (C, 2) their observed
-    pixel in the ref keyframe (level 0); cand_valid: (C,).
+    pixel in the ref keyframe (level 0); cand_valid: (C,); cand_level: (C,)
+    the ref feature's own pyramid level — templates are warped from THAT
+    level's image (the reference samples ref_ftr->level at
+    matcher.cpp:1552-1602; sampling level 0 for a coarse-level feature
+    aliases under large scale change). None means all level 0.
     """
     half = cfg.align_patch_half  # 4 -> 8x8 patch
     T_cur_w = cur.T_cw
@@ -233,20 +238,30 @@ def features_align(cam: cam_mod.CameraParams,
         jnp.stack([-A[:, 1, 0], A[:, 0, 0]], axis=-1),
     ], axis=-2) / detA_safe[:, None, None]
     P = 2 * half + 1
-    offs = jnp.arange(P, dtype=jnp.float32) - half
-    ox, oy = jnp.meshgrid(offs, offs)
-    grid = jnp.stack([ox, oy], axis=-1).reshape(-1, 2)  # (P*P, 2)
-    # cur-level offsets -> ref level-0 offsets
-    ref_offs = jnp.einsum("cij,kj->cki", Ainv, grid) / s[:, None, None]
-    ref_coords = cand_px_ref[:, None, :] + ref_offs  # (C, P*P, 2)
-    tpl = bilinear_sample(ref_pyramid[0], ref_coords).reshape(-1, P, P)
-    # template gradients for the inverse-compositional solve
-    ex = jnp.array([0.5, 0.0], jnp.float32)
-    ey = jnp.array([0.0, 0.5], jnp.float32)
-    tgx = (bilinear_sample(ref_pyramid[0], ref_coords + ex)
-           - bilinear_sample(ref_pyramid[0], ref_coords - ex)).reshape(-1, P, P)
-    tgy = (bilinear_sample(ref_pyramid[0], ref_coords + ey)
-           - bilinear_sample(ref_pyramid[0], ref_coords - ey)).reshape(-1, P, P)
+    Pb = P + 2  # 1-px border for patch-local gradients
+    offs_b = jnp.arange(Pb, dtype=jnp.float32) - half - 1.0
+    oxb, oyb = jnp.meshgrid(offs_b, offs_b)
+    grid_b = jnp.stack([oxb, oyb], axis=-1).reshape(-1, 2)  # (Pb*Pb, 2)
+    # cur-search-level offsets -> ref level-0 offsets
+    ref_offs0 = jnp.einsum("cij,kj->cki", Ainv, grid_b) / s[:, None, None]
+    C = cand_pos_w.shape[0]
+    if cand_level is None:
+        cand_level = jnp.zeros((C,), jnp.int32)
+    # warp the bordered template from the ref feature's OWN pyramid level
+    # (matcher.cpp:1567-1592: patch_ptr indexes img at ref_ftr->level)
+    tpl_b = jnp.zeros((C, Pb * Pb), jnp.float32)
+    for rl in range(num_levels):
+        s_rl = scale_factor ** rl
+        coords_rl = (cand_px_ref[:, None, :] + ref_offs0) * s_rl
+        t = bilinear_sample(ref_pyramid[rl], coords_rl)
+        tpl_b = jnp.where((cand_level == rl)[:, None], t, tpl_b)
+    tpl_b = tpl_b.reshape(C, Pb, Pb)
+    tpl = tpl_b[:, 1:-1, 1:-1]
+    # gradients from the warped patch itself, central differences over the
+    # CUR search-level pixel step (ref_patch_with_border construction,
+    # matcher.cpp:1389-1397) — units match the Align2D update axis
+    tgx = 0.5 * (tpl_b[:, 1:-1, 2:] - tpl_b[:, 1:-1, :-2])
+    tgy = 0.5 * (tpl_b[:, 2:, 1:-1] - tpl_b[:, :-2, 1:-1])
     tgrad = jnp.stack([tgx, tgy], axis=-1)
 
     # --- Align2D at the search level. All candidates share the padded

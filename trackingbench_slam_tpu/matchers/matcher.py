@@ -42,6 +42,7 @@ from trackingbench_slam_tpu.geometry import se3
 from trackingbench_slam_tpu.models.frame import FrameState, is_in_frustum
 from trackingbench_slam_tpu.models.map import MapState, predict_scale
 from trackingbench_slam_tpu.ops import hamming
+from trackingbench_slam_tpu.ops import image as image_ops
 from trackingbench_slam_tpu.ops import orb as orb_ops
 from trackingbench_slam_tpu.ops.align import lk_pyramidal
 from trackingbench_slam_tpu.ops.ransac import fundamental_ransac
@@ -253,7 +254,18 @@ def search_by_opflow(f1: FrameState, f2: FrameState, key: jax.Array,
     Returns (MatchResult with idx = identity, tracked_xy (N, 2)) — the
     caller installs tracked positions as F1's keypoints (as the reference's
     VO loop does at test_vo.cpp:716-738).
+
+    With `equalized`, both pyramids are CLAHE-equalized before tracking
+    (Frame::Equalize, Frame.cpp:453-458, applied by searchByOPFlow at
+    matcher.cpp:737-742) — stabilizes LK under low contrast / exposure
+    change at the cost of one histogram pass per level.
     """
+    f1_pyr, f2_pyr = f1.lk_pyr, f2.lk_pyr
+    if equalized:
+        f1_pyr = tuple(image_ops.clahe(p) for p in f1_pyr)
+        f2_pyr = tuple(image_ops.clahe(p) for p in f2_pyr)
+    f1 = f1._replace(lk_pyr=f1_pyr)
+    f2 = f2._replace(lk_pyr=f2_pyr)
     res = lk_pyramidal(f2.lk_pyr, f1.lk_pyr, f2.kp_xy, f2.valid, 0.5,
                        half=10, iters=30,
                        num_levels=(num_levels if num_levels is not None

@@ -107,7 +107,8 @@ class DirectVO:
             self.cam, cur, self.kf.pyramid, self.kf.T_cw,
             self.kf_pos_w, self.kf.kp_xy, self.kf.valid, cfg.direct,
             num_levels=cfg.pyramid.num_levels,
-            scale_factor=cfg.pyramid.scale_factor)
+            scale_factor=cfg.pyramid.scale_factor,
+            cand_level=self.kf.kp_level)
 
         # 3. motion-only refinement on the aligned observations
         inv_s2 = jnp.ones((self.kf.capacity,), jnp.float32)

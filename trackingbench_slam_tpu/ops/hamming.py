@@ -106,8 +106,11 @@ def rotation_histogram_mask(angles1: jax.Array, angles2: jax.Array,
     max1 = top_vals[0]
     keep_bin = jnp.zeros((histo_length,), dtype=bool)
     for i in range(top_bins):
+        # a bin survives only with actual votes (empty top-k slots — e.g. all
+        # matches in one bin — must not whitelist bin index 0 by accident)
+        has_votes = top_vals[i] > 0
         ok = top_vals[i].astype(jnp.float32) > 0.1 * max1.astype(jnp.float32)
-        keep_bin = keep_bin.at[top_idx[i]].set(ok | (i == 0))
+        keep_bin = keep_bin.at[top_idx[i]].set(has_votes & (ok | (i == 0)))
     return match_ok & keep_bin[bins]
 
 

@@ -135,12 +135,73 @@ def extract_patches(img: jax.Array, centers: jax.Array, half: int) -> jax.Array:
 
 
 def clahe_like(img: jax.Array, clip: float = 3.0, grid: int = 8) -> jax.Array:
-    """Global-contrast normalization standing in for CLAHE (Frame::Equalize,
-    src/types/Frame.cpp:453-458). Tile-interpolated histogram equalization is
-    gather-heavy on TPU for marginal tracking benefit; we use a cheap local
-    mean/variance normalization with the same purpose (stabilize LK under
-    exposure changes)."""
+    """Cheap global-contrast normalization (mean/std to mid-gray). Kept as the
+    low-cost option next to the real `clahe` below; same purpose (stabilize LK
+    under exposure changes) at a fraction of the gathers."""
     mean = jnp.mean(img)
     std = jnp.std(img) + 1e-6
     out = (img - mean) / std * 48.0 + 127.0
     return jnp.clip(out, 0.0, 255.0)
+
+
+@functools.partial(jax.jit, static_argnames=("clip", "grid", "bins"))
+def clahe(img: jax.Array, clip: float = 3.0, grid: int = 8,
+          bins: int = 256) -> jax.Array:
+    """Contrast-limited adaptive histogram equalization (Frame::Equalize,
+    src/types/Frame.cpp:453-458: cv::createCLAHE(3.0, Size(8, 8))).
+
+    TPU-native formulation: per-tile histograms via one segment_sum scatter
+    (tile_id * bins + intensity), clip-and-redistribute, cumsum to per-tile
+    LUTs, then one gather of the 4 neighboring tile LUTs per pixel with
+    bilinear blending — no data-dependent shapes, no host loops.
+
+    The image is processed at whatever size it has; tiles are grid x grid
+    equal slabs (ceil-divided, like OpenCV). Input/output are float images in
+    [0, 255]."""
+    h, w = img.shape
+    th = -(-h // grid)  # ceil
+    tw = -(-w // grid)
+    x = jnp.clip(img, 0.0, 255.0)
+    q = jnp.clip((x * (bins / 256.0)).astype(jnp.int32), 0, bins - 1)
+    ys = jnp.arange(h) // th  # tile row per pixel row
+    xs = jnp.arange(w) // tw
+    tile_id = ys[:, None] * grid + xs[None, :]  # (h, w)
+    seg = (tile_id * bins + q).reshape(-1)
+    hist = jax.ops.segment_sum(jnp.ones((h * w,), jnp.float32), seg,
+                               num_segments=grid * grid * bins)
+    hist = hist.reshape(grid * grid, bins)
+    # contrast limiting: clip each bin at clip * (tile_pixels / bins) and
+    # spread the excess uniformly (OpenCV semantics, one redistribution pass)
+    npx = jnp.maximum(jnp.sum(hist, axis=1, keepdims=True), 1.0)
+    limit = jnp.maximum(clip * npx / bins, 1.0)
+    excess = jnp.sum(jnp.maximum(hist - limit, 0.0), axis=1, keepdims=True)
+    hist = jnp.minimum(hist, limit) + excess / bins
+    cdf = jnp.cumsum(hist, axis=1)
+    # LUT: map intensity -> equalized value in [0, 255]
+    lut = (cdf - cdf[:, :1]) / jnp.maximum(npx - cdf[:, :1], 1.0) * 255.0
+    lut = jnp.clip(lut, 0.0, 255.0)  # (grid*grid, bins)
+
+    # bilinear interpolation between the 4 surrounding tile centers
+    cy = (jnp.arange(h, dtype=img.dtype) - (th - 1) / 2.0) / th
+    cx = (jnp.arange(w, dtype=img.dtype) - (tw - 1) / 2.0) / tw
+    y0 = jnp.clip(jnp.floor(cy).astype(jnp.int32), 0, grid - 1)
+    x0 = jnp.clip(jnp.floor(cx).astype(jnp.int32), 0, grid - 1)
+    y1 = jnp.clip(y0 + 1, 0, grid - 1)
+    x1 = jnp.clip(x0 + 1, 0, grid - 1)
+    fy = jnp.clip(cy - jnp.floor(cy), 0.0, 1.0)
+    fx = jnp.clip(cx - jnp.floor(cx), 0.0, 1.0)
+    # edge tiles extend outward (no blending past the outermost centers)
+    fy = jnp.where((cy < 0) | (cy > grid - 1), jnp.round(jnp.clip(cy, 0, 1)), fy)
+    fx = jnp.where((cx < 0) | (cx > grid - 1), jnp.round(jnp.clip(cx, 0, 1)), fx)
+
+    def look(ty, tx):
+        t = ty[:, None] * grid + tx[None, :]
+        return lut[t, q]
+
+    v00 = look(y0, x0)
+    v01 = look(y0, x1)
+    v10 = look(y1, x0)
+    v11 = look(y1, x1)
+    top = v00 * (1 - fx)[None, :] + v01 * fx[None, :]
+    bot = v10 * (1 - fx)[None, :] + v11 * fx[None, :]
+    return top * (1 - fy)[:, None] + bot * fy[:, None]
