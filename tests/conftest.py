@@ -43,3 +43,12 @@ def make_textured_image(h=240, w=320, seed=1, blobs=160):
 @pytest.fixture(scope="session")
 def test_image():
     return make_textured_image()
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound compile-cache growth across the (long) suite. The XLA-CPU
+    compiler has crashed mid-suite under accumulated JIT state; clearing
+    between modules keeps each module hermetic at the cost of re-tracing."""
+    yield
+    jax.clear_caches()

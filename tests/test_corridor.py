@@ -1,0 +1,76 @@
+"""Non-degenerate synthetic evaluation: the CorridorScene has real depth
+variation (floor at ~4 m under the camera, end wall at ~40 m) and the
+trajectories rotate — the accuracy fixture the round-1 bench lacked (its
+fronto-parallel plane under lateral translation is the degenerate easy
+case)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from trackingbench_slam_tpu.utils.config import (
+    CameraConfig, ExtractorConfig, MapConfig, PipelineConfig, PyramidConfig)
+from trackingbench_slam_tpu.utils.synthetic import (
+    CorridorScene, forward_yaw_trajectory, loop_trajectory)
+
+
+BASELINE = 0.3
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    cam = CameraConfig(width=640, height=480, fx=500, fy=500, cx=320,
+                       cy=240, bf=500 * BASELINE)
+    return PipelineConfig(
+        camera=cam,
+        pyramid=PyramidConfig(num_levels=3, scale_factor=0.8),
+        extractor=ExtractorConfig(num_features=1000, min_threshold=10,
+                                  cell_size=24),
+        map=MapConfig(max_keyframes=16, max_points=8192),
+        keyframe_every=5)
+
+
+@pytest.fixture(scope="module")
+def scene(cfg):
+    return CorridorScene(cfg.camera)
+
+
+def test_scene_has_depth_variation_and_exact_depth(scene, cfg):
+    T0 = np.eye(4)
+    img = scene.render(T0)
+    d = scene.depth_map(T0)
+    assert img.std() > 20  # textured
+    lo, hi = d[d > 0].min(), d.max()
+    assert hi / lo > 5.0, (lo, hi)  # an order of depth variation
+    # exact-depth sanity: center pixel looks at the end wall
+    assert abs(d[cfg.camera.height // 2, cfg.camera.width // 2]
+               - scene.length) < 0.5
+
+
+def test_stereo_vo_tracks_rotating_forward_motion(scene, cfg):
+    """25 frames of forward motion with a continuous yaw turn (~21 degrees
+    total) through varying depth; ATE must stay sub-centimeter-ish."""
+    from trackingbench_slam_tpu.models.vo import StereoVO
+    from trackingbench_slam_tpu.utils import metrics
+
+    n = 25
+    gt = forward_yaw_trajectory(n, step=0.12, yaw_rate=0.015)
+    vo = StereoVO(cfg)
+    for i, T in enumerate(gt):
+        need_right = (i == 0 or (i + 1) % cfg.keyframe_every == 0)
+        if need_right:
+            L, R = scene.stereo_pair(T, BASELINE)
+            vo.track(L, R)
+        else:
+            vo.track(scene.render(T))
+    ate = metrics.ate_rmse(vo.poses(), gt, align=True)
+    assert int(vo.state.num_inliers) > 200
+    assert ate < 0.02, ate  # < 2 cm over a 3 m rotating trajectory
+
+    # the map must span the scene's depth range, not a single plane
+    m = vo.state.map
+    alive = np.asarray(m.valid)
+    z = np.asarray(m.pos)[alive]
+    assert alive.sum() > 300
+    spread = np.percentile(np.linalg.norm(z, axis=1), [10, 90])
+    assert spread[1] / max(spread[0], 1e-6) > 2.0, spread

@@ -83,8 +83,8 @@ def test_ba_reduces_reprojection_error_with_noise(rng):
         obs_valid=jnp.ones((O,), bool))
 
     def mean_reproj(T, X):
-        r, _, _, _ = local_ba._obs_residuals(CAM, jnp.asarray(T),
-                                             jnp.asarray(X), prob)
+        r, _, _, _, _ = local_ba._obs_residuals(CAM, jnp.asarray(T),
+                                                jnp.asarray(X), prob)
         return float(jnp.mean(jnp.linalg.norm(r, axis=-1)))
 
     before = mean_reproj(T0, X0)
@@ -112,7 +112,7 @@ def test_ba_respects_invalid_observations(rng):
     res = local_ba.bundle_adjust(CAM, prob, iters=12)
     # the valid half must be fit to ~zero residual; the poisoned half must
     # NOT be fit (it was masked out, 300 px residuals remain)
-    r, _, _, _ = local_ba._obs_residuals(CAM, res.T_cw, res.points, prob)
+    r, _, _, _, _ = local_ba._obs_residuals(CAM, res.T_cw, res.points, prob)
     rn = np.linalg.norm(np.asarray(r), axis=-1)
     assert np.median(rn[valid]) < 0.1, np.median(rn[valid])
     assert np.median(rn[~valid]) > 100.0

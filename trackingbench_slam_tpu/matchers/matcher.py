@@ -187,21 +187,29 @@ def search_by_projection_frame(cam: cam_mod.CameraParams,
                    angles1=f1.kp_angle, angles2=f2.kp_angle)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "scale_factor", "num_levels"))
+@functools.partial(jax.jit, static_argnames=("cfg", "scale_factor",
+                                             "num_levels", "only_unlinked",
+                                             "accept_th", "use_ratio"))
 def search_by_projection_map(cam: cam_mod.CameraParams, f1: FrameState,
                              m: MapState,
                              cfg: MatcherConfig = MatcherConfig(),
                              scale_factor: float = 0.8,
                              num_levels: int = 5,
-                             base_radius: float = 4.0) -> MatchResult:
+                             base_radius: float = 4.0,
+                             only_unlinked: bool = True,
+                             accept_th: float | None = None,
+                             use_ratio: bool = True) -> MatchResult:
     """Map-to-frame projection search (matcher.cpp:539-617): frustum-check
     every landmark (distance band + viewing angle, Frame::IsInFrustum
     semantics), predict its scale level, window-search with radius 4 (2.5
     when viewCos > 0.998), same-level ratio test, accept best <= TH_HIGH.
 
     Result indexes LANDMARK slots: idx[i] = map slot matched to F1 feature i.
-    F1 features that already carry a MapPoint are excluded (matcher.cpp:
-    569-575)."""
+    With only_unlinked, F1 features that already carry a MapPoint are
+    excluded (matcher.cpp:569-575); only_unlinked=False includes them, which
+    is the duplicate-fusion role (a linked feature matching a DIFFERENT
+    landmark marks a MapPoint::Replace pair). accept_th overrides the
+    TH_HIGH acceptance (fusion should use the tight TH_LOW)."""
     px, depth, vis, view_cos = is_in_frustum(f1, cam, m.pos, m.normal,
                                              m.min_dist, m.max_dist)
     vis = vis & m.valid
@@ -213,10 +221,14 @@ def search_by_projection_map(cam: cam_mod.CameraParams, f1: FrameState,
     dpx = f1.kp_xy[:, None, :] - px[None, :, :]
     within = jnp.sum(dpx * dpx, axis=-1) <= (r * r)[None, :]
     lv = jnp.abs(f1.kp_level[:, None] - pred_lvl[None, :]) <= 1
-    free1 = f1.valid & (f1.map_idx < 0)
+    free1 = f1.valid & (f1.map_idx < 0) if only_unlinked else f1.valid
     dist = _distance_matrix(f1.desc, m.desc)
     dm = hamming.masked_distance(dist, free1, vis, within & lv)
-    return _finish(dm, cfg, float(cfg.th_high), use_ratio=True)
+    th = float(cfg.th_high) if accept_th is None else float(accept_th)
+    # use_ratio=False is the fusion role: exact duplicate landmarks make
+    # best == second, which the ratio test would structurally reject —
+    # the very pairs fusion exists to merge
+    return _finish(dm, cfg, th, use_ratio=use_ratio)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

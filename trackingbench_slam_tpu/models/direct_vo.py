@@ -1,22 +1,25 @@
-"""Direct (SVO-style) visual odometry pipeline.
+"""Direct (SVO-style) visual odometry pipeline with a live depth filter.
 
 The reference exercises its direct matcher through the VO loop in
 test/test_projection.cpp:408-656 (sparse image alignment against the last
 keyframe + feature alignment + pose refinement, depth from a disparity
-oracle). This pipeline is that loop as a library layer, with stereo LK depth
-replacing the disparity file:
+oracle) and ships only an EMPTY stub for the depth filter it planned
+(src/mapping/DepthFilter.cpp:1-5). This pipeline is that loop as a library
+layer with the stub filled in, SVO semantics:
 
   per frame:
     1. sparse_image_align  (matchers/direct.py <- SparseImageAlign)
-       photometric 6-DoF alignment of the current pyramid against the last
-       keyframe's landmark-bearing features
-    2. features_align      (<- FeaturesAlign/Align2D) refines the projected
-       landmark positions in the current frame
+    2. features_align      (<- FeaturesAlign/Align2D)
     3. pose_optimization   (solvers/pose_opt.py) on the refined positions
-       (SVO's "pose refinement" step)
-  every k frames:
-    4. FAST/Shi-Tomasi re-extraction + stereo depth -> new landmarks,
-       current frame becomes the reference keyframe
+    4. depth-filter update (solvers/depth_filter.py): epipolar-guided LK of
+       every live seed into the current frame, two-view triangulation,
+       Vogiatzis Bayesian update; converged seeds promote to landmarks,
+       diverged seeds die
+  every k frames (keyframe):
+    5. FAST re-extraction; features with stereo depth (when a right image
+       is given) become landmarks immediately, the rest become SEEDS —
+       so DirectVO no longer needs stereo on every keyframe (mono
+       continuation after a stereo bootstrap).
 """
 
 from __future__ import annotations
@@ -34,6 +37,7 @@ from trackingbench_slam_tpu.matchers import direct
 from trackingbench_slam_tpu.models.extractors import extract_fast
 from trackingbench_slam_tpu.models.frame import FrameState, make_frame
 from trackingbench_slam_tpu.ops.align import lk_pyramidal
+from trackingbench_slam_tpu.solvers import depth_filter as df
 from trackingbench_slam_tpu.solvers import pose_opt
 from trackingbench_slam_tpu.utils.config import PipelineConfig
 
@@ -43,40 +47,191 @@ class DirectVO:
         self.cfg = cfg
         self.cam = cam_mod.CameraParams.from_config(cfg.camera)
         self.kf: Optional[FrameState] = None     # reference keyframe
-        self.kf_depth = None                     # (N,) depths in KF camera
+        self.kf_depth = None                     # (N,) z-depth in KF camera
         self.kf_pos_w = None                     # (N, 3) landmark positions
+        self.kf_has_lm = None                    # (N,) landmark-bearing mask
+        # depth-filter seed batches, each tied to its ORIGIN keyframe
+        # (seeds outlive keyframe changes — SVO semantics; a batch carries
+        # its origin pyramid/pose so epipolar updates stay consistent)
+        self.seed_batches: list[dict] = []
+        self.max_seed_batches = 3
         self.T_cw = jnp.eye(4, dtype=jnp.float32)
         self.trajectory: list = []
         self.frame_id = 0
         self.num_tracked = 0
+        self.num_promoted = 0
 
-    def _make_keyframe(self, img_left, img_right, T_cw):
+    # ------------------------------------------------------------ keyframe
+
+    def _make_keyframe(self, img_left, img_right, T_cw,
+                       carry_pos_w=None, carry_px=None, carry_ok=None):
+        """New reference keyframe. Landmarks come from (a) inherited tracked
+        landmarks at their feature-aligned positions (SVO semantics: the map
+        outlives keyframes — without this, a stereo-less keyframe would
+        start with an empty map and alignment would die before any seed
+        converges), (b) stereo LK depth when a right image is given. All
+        remaining corners become depth-filter seeds."""
         cfg = self.cfg
         f = make_frame(img_left, cfg.extractor.num_features,
                        cfg.pyramid.num_levels, cfg.pyramid.scale_factor,
                        blur=False)
         f = extract_fast(f, self.cam, cfg.extractor, cfg.pyramid,
-                         num_levels=min(3, cfg.pyramid.num_levels))
+                         num_levels=min(3, cfg.pyramid.num_levels),
+                         suppress_xy=carry_px, suppress_valid=carry_ok)
         f = f._replace(T_cw=T_cw)
-        right = make_frame(img_right, 1, cfg.pyramid.num_levels,
-                           cfg.pyramid.scale_factor, blur=False)
-        lk = lk_pyramidal(f.lk_pyr, right.lk_pyr, f.kp_xy, f.valid, 0.5,
-                          half=10, iters=30, num_levels=len(f.lk_pyr))
-        lk_back = lk_pyramidal(right.lk_pyr, f.lk_pyr, lk.xy, f.valid, 0.5,
-                               half=10, iters=30, num_levels=len(f.lk_pyr))
-        fb_ok = (lk_back.converged
-                 & (jnp.sum((lk_back.xy - f.kp_xy) ** 2, axis=-1) < 1.0))
-        depth, disp_ok = tri.stereo_depth(self.cam.bf, f.kp_xy[:, 0],
-                                          lk.xy[:, 0])
-        ok = (f.valid & lk.converged & fb_ok & disp_ok
-              & (jnp.abs(lk.xy[:, 1] - f.kp_xy[:, 1]) < 2.0)
-              & (depth > 0.1) & (depth < 400.0))
+
+        if img_right is not None:
+            right = make_frame(img_right, 1, cfg.pyramid.num_levels,
+                               cfg.pyramid.scale_factor, blur=False)
+            lk = lk_pyramidal(f.lk_pyr, right.lk_pyr, f.kp_xy, f.valid, 0.5,
+                              half=10, iters=30, num_levels=len(f.lk_pyr))
+            lk_back = lk_pyramidal(right.lk_pyr, f.lk_pyr, lk.xy, f.valid,
+                                   0.5, half=10, iters=30,
+                                   num_levels=len(f.lk_pyr))
+            fb_ok = (lk_back.converged
+                     & (jnp.sum((lk_back.xy - f.kp_xy) ** 2, axis=-1) < 1.0))
+            depth, disp_ok = tri.stereo_depth(self.cam.bf, f.kp_xy[:, 0],
+                                              lk.xy[:, 0])
+            has_lm = (f.valid & lk.converged & fb_ok & disp_ok
+                      & (jnp.abs(lk.xy[:, 1] - f.kp_xy[:, 1]) < 2.0)
+                      & (depth > 0.1) & (depth < 400.0))
+        else:
+            depth = jnp.zeros((f.capacity,), jnp.float32)
+            has_lm = jnp.zeros((f.capacity,), bool)
+
         p_cam = tri.backproject(self.cam.fx, self.cam.fy, self.cam.cx,
                                 self.cam.cy, f.kp_xy, depth)
         p_w = se3.transform_points(se3.inverse(T_cw), p_cam)
-        self.kf = f._replace(valid=ok)
-        self.kf_depth = jnp.where(ok, depth, 0.0)
+
+        if carry_pos_w is not None:
+            # inherit tracked landmarks into this keyframe's free slots at
+            # their aligned pixel positions
+            p_c = se3.transform_points(T_cw, carry_pos_w)
+            keep = (carry_ok & (p_c[:, 2] > 0.05)
+                    & cam_mod.is_in_frame(self.cam, carry_px, boundary=8.0))
+            from trackingbench_slam_tpu.models.map import (
+                free_slot_destinations)
+            from trackingbench_slam_tpu.ops import packing
+            dest = free_slot_destinations(~f.valid, keep)
+            xn = (carry_px[:, 0] - self.cam.cx) / self.cam.fx
+            yn = (carry_px[:, 1] - self.cam.cy) / self.cam.fy
+            brg = jnp.stack([xn, yn, jnp.ones_like(xn)], axis=-1)
+            brg = brg / jnp.linalg.norm(brg, axis=-1, keepdims=True)
+            n_cap = f.capacity
+            (kp_xy, kp_level, bearing, valid, has_lm, depth, p_w
+             ) = packing.scatter_rows_set(
+                [f.kp_xy, f.kp_level, f.bearing, f.valid, has_lm, depth,
+                 p_w],
+                dest,
+                [carry_px, jnp.zeros((n_cap,), jnp.int32), brg,
+                 jnp.ones((n_cap,), bool), jnp.ones((n_cap,), bool),
+                 p_c[:, 2], carry_pos_w])
+            f = f._replace(kp_xy=kp_xy, kp_level=kp_level, bearing=bearing,
+                           valid=valid)
+
+        self.kf = f
+        self.kf_has_lm = has_lm
+        self.kf_depth = jnp.where(has_lm, depth, 0.0)
         self.kf_pos_w = p_w
+
+        # seeds for every extracted corner WITHOUT depth (DepthFilter's
+        # initializeSeeds role). Initial belief: scene mean depth of the
+        # current landmarks (or the previous keyframe's, for mono KFs).
+        seed_mask = f.valid & ~has_lm
+        n_lm = jnp.sum(has_lm)
+        mean_d = jnp.where(n_lm > 0,
+                           jnp.sum(jnp.where(has_lm, depth, 0.0))
+                           / jnp.maximum(n_lm, 1),
+                           jnp.asarray(self._last_mean_depth, jnp.float32))
+        self._last_mean_depth = float(mean_d)
+        min_d = jnp.maximum(0.05 * mean_d, 0.2)
+        self.seed_batches.append(dict(
+            seeds=df.SeedState.init(
+                jnp.full((f.capacity,), mean_d, jnp.float32),
+                jnp.full((f.capacity,), min_d, jnp.float32), seed_mask),
+            lk_pyr=f.lk_pyr, kp_xy=f.kp_xy, bearing=f.bearing, T_cw=T_cw))
+        self.seed_batches = self.seed_batches[-self.max_seed_batches:]
+
+    _last_mean_depth = 8.0
+
+    # --------------------------------------------------------- seed update
+
+    def _update_seeds(self, cur: FrameState):
+        """One depth-filter round over every live seed batch: track each
+        seed from its ORIGIN keyframe into the current frame with its belief
+        as the prior, triangulate, Bayesian-update, promote/retire (SVO
+        updateSeeds). Converged seeds become landmarks of the CURRENT
+        reference keyframe (scattered into its free feature slots)."""
+        live = []
+        for b in self.seed_batches:
+            s = b["seeds"]
+            if not bool(jnp.any(s.valid)):
+                continue
+            T_ref_w = b["T_cw"]
+            T_cur_ref = se3.compose(self.T_cw, se3.inverse(T_ref_w))
+            f_ref = b["bearing"]  # (N, 3) unit rays in the origin camera
+            z_ray = 1.0 / jnp.maximum(s.mu, 1e-6)
+            p_ref = f_ref * z_ray[:, None]
+            p_cur = se3.transform_points(T_cur_ref, p_ref)
+            px_pred = cam_mod.world2cam(self.cam, p_cur)
+            trackable = (s.valid & (p_cur[:, 2] > 0.05)
+                         & cam_mod.is_in_frame(self.cam, px_pred,
+                                               boundary=12.0))
+            lk = lk_pyramidal(b["lk_pyr"], cur.lk_pyr, b["kp_xy"],
+                              trackable, 0.5, half=6, iters=20,
+                              num_levels=2,
+                              init_offset=px_pred - b["kp_xy"])
+            xn = (lk.xy[:, 0] - self.cam.cx) / self.cam.fx
+            yn = (lk.xy[:, 1] - self.cam.cy) / self.cam.fy
+            f_cur = jnp.stack([xn, yn, jnp.ones_like(xn)], axis=-1)
+            f_cur = f_cur / jnp.linalg.norm(f_cur, axis=-1, keepdims=True)
+            z_obs, tri_ok = df.depth_from_triangulation(T_cur_ref, f_ref,
+                                                        f_cur)
+            T_ref_cur = se3.inverse(T_cur_ref)
+            px_err_angle = jnp.arctan(0.5 / self.cam.fx) * 2.0
+            tau = df.compute_tau(T_ref_cur[:3, 3], f_ref, z_obs,
+                                 px_err_angle)
+            tau2 = df.tau_inverse(z_obs, tau) ** 2
+            obs_ok = trackable & lk.converged & tri_ok
+            s = df.update_seeds(s, 1.0 / jnp.maximum(z_obs, 1e-6), tau2,
+                                obs_ok)
+            conv, div = df.seed_status(s)
+            if bool(jnp.any(conv)):
+                z_ray = 1.0 / jnp.maximum(s.mu, 1e-6)
+                p_w = se3.transform_points(se3.inverse(T_ref_w),
+                                           f_ref * z_ray[:, None])
+                self._promote(conv, p_w)
+            b["seeds"] = s._replace(valid=s.valid & ~(conv | div))
+            live.append(b)
+        self.seed_batches = live
+
+    def _promote(self, conv: jax.Array, pos_w: jax.Array):
+        """Insert converged seeds as landmarks of the current reference
+        keyframe, at their projected pixels, into free feature slots."""
+        from trackingbench_slam_tpu.models.map import free_slot_destinations
+        from trackingbench_slam_tpu.ops import packing
+        kf = self.kf
+        p_c = se3.transform_points(kf.T_cw, pos_w)
+        px = cam_mod.world2cam(self.cam, p_c)
+        ok = (conv & (p_c[:, 2] > 0.05)
+              & cam_mod.is_in_frame(self.cam, px, boundary=8.0))
+        n_add = int(jnp.sum(ok))
+        if n_add == 0:
+            return
+        dest = free_slot_destinations(~kf.valid, ok)
+        (kp_xy, valid, has_lm, depth, kf_pos_w) = packing.scatter_rows_set(
+            [kf.kp_xy, kf.valid, self.kf_has_lm, self.kf_depth,
+             self.kf_pos_w],
+            dest,
+            [px, jnp.ones(ok.shape, bool), jnp.ones(ok.shape, bool),
+             p_c[:, 2], pos_w])
+        self.kf = kf._replace(kp_xy=kp_xy, valid=valid)
+        self.kf_has_lm = has_lm
+        self.kf_depth = depth
+        self.kf_pos_w = kf_pos_w
+        self.num_promoted += n_add
+
+    # -------------------------------------------------------------- track
 
     def track(self, img_left, img_right=None):
         cfg = self.cfg
@@ -96,7 +251,7 @@ class DirectVO:
         T_init = se3.compose(self.T_cw, se3.inverse(self.kf.T_cw))
         res = direct.sparse_image_align(
             self.cam, self.kf.pyramid, cur.pyramid, self.kf.kp_xy,
-            self.kf_depth, self.kf.valid, T_init, cfg.direct,
+            self.kf_depth, self.kf_has_lm, T_init, cfg.direct,
             scale_factor=cfg.pyramid.scale_factor)
         T_cur_kf = res.T_cur_ref
         T_cw = se3.compose(T_cur_kf, self.kf.T_cw)
@@ -105,7 +260,7 @@ class DirectVO:
         # 2. per-feature refinement against the keyframe
         fa = direct.features_align(
             self.cam, cur, self.kf.pyramid, self.kf.T_cw,
-            self.kf_pos_w, self.kf.kp_xy, self.kf.valid, cfg.direct,
+            self.kf_pos_w, self.kf.kp_xy, self.kf_has_lm, cfg.direct,
             num_levels=cfg.pyramid.num_levels,
             scale_factor=cfg.pyramid.scale_factor,
             cand_level=self.kf.kp_level)
@@ -114,15 +269,22 @@ class DirectVO:
         inv_s2 = jnp.ones((self.kf.capacity,), jnp.float32)
         opt = pose_opt.pose_optimization(
             self.cam, T_cw, self.kf_pos_w, fa.px_cur, inv_s2,
-            fa.ok & self.kf.valid, cfg.solver)
+            fa.ok & self.kf_has_lm, cfg.solver)
         self.T_cw = opt.T_cw
         self.num_tracked = int(opt.num_inliers)
 
+        # 4. depth-filter round on the live seeds
+        self._update_seeds(cur)
+
         self.trajectory.append(self.T_cw)
         self.frame_id += 1
-        if img_right is not None and self.frame_id % cfg.keyframe_every == 0:
-            self._make_keyframe(img_left, jnp.asarray(img_right, jnp.float32),
-                                self.T_cw)
+        if self.frame_id % cfg.keyframe_every == 0:
+            right = (jnp.asarray(img_right, jnp.float32)
+                     if img_right is not None else None)
+            carry_ok = fa.ok & self.kf_has_lm & opt.inliers
+            self._make_keyframe(img_left, right, self.T_cw,
+                                carry_pos_w=self.kf_pos_w,
+                                carry_px=fa.px_cur, carry_ok=carry_ok)
         return self.T_cw
 
     def poses(self):

@@ -1,0 +1,108 @@
+"""Local mapping: windowed bundle adjustment as a LIVE pipeline stage.
+
+The reference's g2o dependency exists to serve exactly this role
+(BlockSolver_6_3 is the pose/landmark Schur structure,
+src/mapping/LocalBA.cpp:293-304), but its live loop only ever runs
+motion-only pose optimization; round 1 of this repo built the full Schur
+solver (solvers/local_ba.py) yet likewise never called it from a pipeline.
+This module is the missing stage: every K-th keyframe, the whole keyframe
+ring + the map's observation lists become one BAProblem, the Schur-reduced
+LM solver refines all ring poses and observed landmarks, and the corrections
+are scattered back into (KeyframeStore, MapState, current pose).
+
+Design notes (TPU-first):
+  * The observation set is the map's (obs_kf, obs_feat) table flattened to a
+    fixed (M_cap * K_obs,) batch — no host-side graph building, the whole
+    stage is ONE jitted dispatch. Stale entries are already impossible:
+    keyframe eviction purges its observations (map.purge_kf_slot) and
+    landmark-slot reuse resets the lists (map.add_points).
+  * The window is the full keyframe ring (Map::RemoveOldFrames already
+    bounds it, Map.cpp:103-114), ordered oldest-first so the gauge clamp
+    (num_fixed=1) pins the oldest pose.
+  * The current frame's pose rides the newest keyframe's correction
+    (T_cur <- T_kf_new . T_kf_old^-1 . T_cur), keeping tracking consistent
+    with the refined map.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from trackingbench_slam_tpu.geometry import camera as cam_mod
+from trackingbench_slam_tpu.geometry import se3
+from trackingbench_slam_tpu.solvers import pose_opt
+from trackingbench_slam_tpu.solvers.local_ba import BAProblem, bundle_adjust
+from trackingbench_slam_tpu.utils.config import PipelineConfig
+
+
+def build_window_problem(m, kfs, scale_factor: float):
+    """Flatten the keyframe ring + map observation lists into a BAProblem.
+
+    Returns (problem, order) where order[d] = ring slot at dense window
+    index d (oldest first; invalid slots parked at the end)."""
+    KF = kfs.T_cw.shape[0]
+    M, K = m.obs_kf.shape
+    big = jnp.iinfo(jnp.int32).max
+    fid = jnp.where(kfs.valid, kfs.frame_id, big)
+    order = jnp.argsort(fid)                      # dense -> slot
+    dense_of_slot = jnp.zeros((KF,), jnp.int32).at[order].set(
+        jnp.arange(KF, dtype=jnp.int32))          # slot -> dense
+
+    kf_slot = m.obs_kf.reshape(-1)                # (M*K,)
+    feat = m.obs_feat.reshape(-1)
+    lm = jnp.repeat(jnp.arange(M, dtype=jnp.int32), K)
+    slot_c = jnp.clip(kf_slot, 0, KF - 1)
+    feat_c = jnp.clip(feat, 0, kfs.kp_xy.shape[1] - 1)
+    ok = ((kf_slot >= 0) & (feat >= 0)
+          & m.valid[lm] & kfs.valid[slot_c]
+          & kfs.kp_valid[slot_c, feat_c])
+    px = kfs.kp_xy[slot_c, feat_c]
+    lvl = kfs.kp_level[slot_c, feat_c]
+    inv_s2 = pose_opt.level_inv_sigma2(lvl, scale_factor)
+    problem = BAProblem(
+        T_cw=kfs.T_cw[order],
+        points=m.pos,
+        obs_kf=dense_of_slot[slot_c],
+        obs_lm=lm,
+        obs_px=px,
+        obs_inv_sigma2=inv_s2,
+        obs_valid=ok,
+        obs_ur=kfs.kp_ur[slot_c, feat_c],
+    )
+    return problem, order
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def local_ba_step(state, cam: cam_mod.CameraParams, cfg: PipelineConfig):
+    """One local-mapping pass: windowed BA over the ring, write-back into
+    the VOState. Runs as a single device program."""
+    m, kfs = state.map, state.kfs
+    KF = kfs.T_cw.shape[0]
+    M = m.capacity
+    problem, order = build_window_problem(m, kfs, cfg.pyramid.scale_factor)
+    res = bundle_adjust(cam, problem, iters=cfg.solver.ba_iters,
+                        huber_delta=cfg.solver.huber_delta,
+                        init_lambda=cfg.solver.init_lambda, num_fixed=1)
+
+    ord_valid = kfs.valid[order]
+    T_new = jnp.where(ord_valid[:, None, None], res.T_cw, problem.T_cw)
+    kfs = kfs._replace(T_cw=kfs.T_cw.at[order].set(T_new))
+
+    # only landmarks that actually had residuals move
+    touched = jnp.zeros((M,), bool).at[
+        jnp.where(problem.obs_valid, problem.obs_lm, M)].set(
+        True, mode="drop")
+    m = m._replace(pos=jnp.where((touched & m.valid)[:, None],
+                                 res.points, m.pos))
+
+    # propagate the newest keyframe's correction to the live pose
+    newest = jnp.clip(jnp.sum(kfs.valid) - 1, 0, KF - 1)
+    T_old_kf = problem.T_cw[newest]
+    T_new_kf = T_new[newest]
+    corr = se3.compose(T_new_kf, se3.inverse(T_old_kf))
+    T_cw = se3.normalize(se3.compose(corr, state.T_cw))
+    return state._replace(map=m, kfs=kfs, T_cw=T_cw,
+                          prev=state.prev._replace(T_cw=T_cw))

@@ -73,9 +73,15 @@ class LoopCloser:
             T_cw=np.asarray(T_cw), vec=v))
         return idx
 
-    def detect(self, desc, valid, kp_xy, T_cw_init) -> Optional[LoopCandidate]:
+    def detect(self, desc, valid, kp_xy, T_cw_init,
+               init_from_candidate: bool = False) -> Optional[LoopCandidate]:
         """Query the database with the current frame; verify the best
-        candidates geometrically. Returns the accepted loop or None."""
+        candidates geometrically. Returns the accepted loop or None.
+
+        init_from_candidate seeds the geometric verification from the
+        CANDIDATE keyframe's stored pose instead of T_cw_init — required for
+        relocalization, where the current pose estimate is garbage by
+        definition (loop closure keeps the drifted-but-close current pose)."""
         if len(self.entries) <= self.exclude_recent:
             return None
         words, nodes = bow.transform(self.voc, desc, valid)
@@ -102,8 +108,10 @@ class LoopCloser:
             if has.sum() < 8:
                 continue
             pts_w = jnp.asarray(cand["map_pos"][np.clip(midx, 0, None)])
+            T_init = (jnp.asarray(cand["T_cw"]) if init_from_candidate
+                      else jnp.asarray(T_cw_init))
             opt = pose_opt.pose_optimization(
-                self.cam, jnp.asarray(T_cw_init), pts_w, kp_xy,
+                self.cam, T_init, pts_w, kp_xy,
                 jnp.ones((desc.shape[0],), jnp.float32), jnp.asarray(has),
                 self.scfg)
             n_inl = int(opt.num_inliers)
@@ -117,9 +125,15 @@ class LoopCloser:
     @staticmethod
     def correct_trajectory(T_cw_all: np.ndarray, loop: LoopCandidate,
                            cur_index: int, odom_weight: float = 1.0,
-                           loop_weight: float = 5.0):
+                           loop_weight: float = 5.0,
+                           loop_frame_index: int | None = None):
         """Build + solve the pose graph with the loop edge
-        (odometry chain edges from the trajectory as measured)."""
+        (odometry chain edges from the trajectory as measured).
+
+        loop_frame_index: trajectory index of the loop partner keyframe —
+        needed when keyframes are a subset of trajectory frames (the live
+        pipeline); defaults to loop.kf_index (keyframe == frame)."""
+        lj = loop.kf_index if loop_frame_index is None else loop_frame_index
         K = cur_index + 1
         ei, ej, Tm, w = [], [], [], []
         for k in range(K - 1):
@@ -128,7 +142,7 @@ class LoopCloser:
             Tm.append(T_cw_all[k] @ np.linalg.inv(T_cw_all[k + 1]))
             w.append(odom_weight)
         ei.append(cur_index)
-        ej.append(loop.kf_index)
+        ej.append(lj)
         Tm.append(loop.T_cur_kf)
         w.append(loop_weight)
         g = pose_graph.PoseGraph(
@@ -140,3 +154,35 @@ class LoopCloser:
             valid=jnp.ones((len(ei),), bool))
         T_opt, cost = pose_graph.optimize_pose_graph(g, iters=25)
         return np.asarray(T_opt), float(cost)
+
+
+@jax.jit
+def apply_loop_correction(state, T_new_traj: jax.Array):
+    """Write a pose-graph-corrected trajectory back into the live VOState:
+    keyframe ring poses move to their corrected trajectory nodes, every
+    landmark is re-anchored through its reference keyframe's correction
+    (p' = T_new^-1 . T_old . p keeps the landmark's camera-frame coordinates
+    in the keyframe that created it), and the current pose becomes the last
+    corrected node. One fused device program.
+
+    T_new_traj: (F, 4, 4) corrected world->camera poses, index f holds the
+    pose of device frame_id f+1 (trajectory convention of StereoVO)."""
+    kfs, m = state.kfs, state.map
+    F = T_new_traj.shape[0]
+    idx = jnp.clip(kfs.frame_id - 1, 0, F - 1)
+    T_old = kfs.T_cw
+    T_new = jnp.where(kfs.valid[:, None, None], T_new_traj[idx], T_old)
+    # per-keyframe world-frame re-anchoring transform
+    A = jax.vmap(lambda tn, to: se3.compose(se3.inverse(tn), to))(
+        T_new, T_old)  # (KF, 4, 4)
+    KF = T_old.shape[0]
+    ref = jnp.clip(m.ref_kf, 0, KF - 1)
+    has_ref = (m.ref_kf >= 0) & m.valid & kfs.valid[ref]
+    Ap = A[ref]
+    p_new = (jnp.einsum("mij,mj->mi", Ap[:, :3, :3], m.pos)
+             + Ap[:, :3, 3])
+    m = m._replace(pos=jnp.where(has_ref[:, None], p_new, m.pos))
+    T_cur = T_new_traj[-1]
+    return state._replace(
+        kfs=kfs._replace(T_cw=T_new), map=m, T_cw=T_cur,
+        prev=state.prev._replace(T_cw=T_cur))

@@ -81,6 +81,9 @@ class KeyframeStore(NamedTuple):
     kp_valid: jax.Array  # (KF, N)
     valid: jax.Array     # (KF,)
     frame_id: jax.Array  # (KF,) global frame number (for ring eviction)
+    kp_ur: jax.Array     # (KF, N) rectified right-image u per feature
+    #                      (-1 = no stereo match); feeds the stereo rows of
+    #                      windowed BA (ORB-SLAM2-style u_R observations)
 
 
 def empty_map(capacity: int, max_obs: int, dtype=jnp.float32) -> MapState:
@@ -116,6 +119,7 @@ def empty_keyframes(max_kf: int, kp_capacity: int, dtype=jnp.float32) -> Keyfram
         kp_valid=jnp.zeros((KF, N), bool),
         valid=jnp.zeros((KF,), bool),
         frame_id=jnp.full((KF,), -1, jnp.int32),
+        kp_ur=jnp.full((KF, N), -1.0, dtype),
     )
 
 
@@ -234,6 +238,25 @@ def add_reproj_failures(m: MapState, point_idx: jax.Array, failed: jax.Array,
     return m._replace(n_fail_reproj=nf, valid=m.valid & (nf <= evict_after))
 
 
+def purge_kf_slot(m: MapState, kf_slot: jax.Array,
+                  want: jax.Array) -> MapState:
+    """Invalidate every observation referencing a keyframe slot that is
+    being evicted/reused (the functional analogue of the reference erasing
+    a dead Frame's observations via MapPoint::EraseObservation,
+    MapPoint.cpp:107-122 — without this, ring-slot reuse would silently
+    re-point old observations at the NEW keyframe's features).
+
+    Points whose ref_kf dies keep their scale band but drop the ref link
+    (ref_kf = -1), which update_normal_and_depth treats as 'keep current
+    band'."""
+    hit = (m.obs_kf == kf_slot) & want
+    obs_kf = jnp.where(hit, -1, m.obs_kf)
+    obs_feat = jnp.where(hit, -1, m.obs_feat)
+    ref_dead = (m.ref_kf == kf_slot) & want
+    return m._replace(obs_kf=obs_kf, obs_feat=obs_feat,
+                      ref_kf=jnp.where(ref_dead, -1, m.ref_kf))
+
+
 def update_normal_and_depth(m: MapState, kfs: KeyframeStore,
                             scale_factor: float, num_levels: int) -> MapState:
     """Recompute mean viewing normal + scale-invariance distance band from
@@ -266,11 +289,15 @@ def update_normal_and_depth(m: MapState, kfs: KeyframeStore,
     level_scale = jnp.power(s, -m.ref_level.astype(m.pos.dtype))  # >= 1
     max_dist = ref_dist * level_scale
     min_dist = max_dist * (s ** (num_levels - 1))
-    keep = m.valid
+    has_obs = jnp.any(obs_ok, axis=1)
+    keep = m.valid & has_obs
+    # scale band needs a live reference keyframe (ref_kf = -1 after eviction
+    # keeps the band frozen at its last good value)
+    keep_band = keep & (m.ref_kf >= 0)
     return m._replace(
         normal=jnp.where(keep[:, None], normal, m.normal),
-        max_dist=jnp.where(keep, max_dist, m.max_dist),
-        min_dist=jnp.where(keep, min_dist, m.min_dist),
+        max_dist=jnp.where(keep_band, max_dist, m.max_dist),
+        min_dist=jnp.where(keep_band, min_dist, m.min_dist),
     )
 
 
@@ -348,12 +375,18 @@ def next_kf_slot(kfs: KeyframeStore) -> jax.Array:
 
 
 def insert_keyframe(kfs: KeyframeStore, frame, frame_id,
-                    slot: jax.Array | None = None
+                    slot: jax.Array | None = None,
+                    kp_ur: jax.Array | None = None
                     ) -> tuple[KeyframeStore, jax.Array]:
     """Insert a frame snapshot into the ring (Map::AddKeyFrame, Map.cpp:16-22
-    + RemoveOldFrames trim, Map.cpp:103-114). Returns (store, slot)."""
+    + RemoveOldFrames trim, Map.cpp:103-114). Returns (store, slot).
+
+    kp_ur: (N,) right-image u per feature (stereo pipelines), -1/None for
+    mono."""
     if slot is None:
         slot = next_kf_slot(kfs)
+    if kp_ur is None:
+        kp_ur = jnp.full(frame.kp_level.shape, -1.0, kfs.kp_ur.dtype)
     return kfs._replace(
         T_cw=kfs.T_cw.at[slot].set(frame.T_cw),
         kp_xy=kfs.kp_xy.at[slot].set(frame.kp_xy),
@@ -365,4 +398,5 @@ def insert_keyframe(kfs: KeyframeStore, frame, frame_id,
         kp_valid=kfs.kp_valid.at[slot].set(frame.valid),
         valid=kfs.valid.at[slot].set(True),
         frame_id=kfs.frame_id.at[slot].set(frame_id),
+        kp_ur=kfs.kp_ur.at[slot].set(kp_ur),
     ), slot

@@ -112,8 +112,8 @@ def distributed_bundle_adjust(mesh: Mesh, cam: cam_mod.CameraParams,
             obs_px=obs_px, obs_inv_sigma2=obs_is, obs_valid=obs_va)
 
         def total_cost(T, X):
-            r, pc, _, _ = local_ba._obs_residuals(cam, T, X, prob)
-            chi2 = jnp.sum(r * r, axis=-1) * obs_is
+            r, pc, _, _, row_ok = local_ba._obs_residuals(cam, T, X, prob)
+            chi2 = local_ba._obs_chi2(r, row_ok, obs_is)
             chi2 = jnp.where(pc[:, 2] <= 0.05, 0.0, chi2)
             rho = chi2 if huber_delta is None else _huber_rho(chi2, huber_delta)
             local = jnp.sum(jnp.where(obs_va, rho, 0.0))

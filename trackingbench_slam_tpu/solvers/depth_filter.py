@@ -96,7 +96,15 @@ def update_seeds(seeds: SeedState, z_obs: jax.Array, tau2: jax.Array,
     mu_new = C1 * m + C2 * seeds.mu
     sigma2_new = C1 * (s2 + m * m) + C2 * (seeds.sigma2 + seeds.mu ** 2) \
         - mu_new ** 2
-    a_new = (e - f) / jnp.maximum(f - e / jnp.maximum(f, 1e-12), 1e-12)
+    # Beta moment matching (Vogiatzis eq. 12 / SVO updateSeed):
+    # a = (e - f) / (f - e/f). Both numerator and denominator are negative
+    # for a proper Beta (variance > 0), so the zero-guard must preserve the
+    # SIGN — clamping the denominator to +eps flips a to a huge negative
+    # value and the clip floor freezes the inlier ratio at 0.5.
+    denom = f - e / jnp.maximum(f, 1e-12)
+    denom = jnp.where(jnp.abs(denom) < 1e-12,
+                      jnp.where(denom < 0, -1e-12, 1e-12), denom)
+    a_new = (e - f) / denom
     b_new = a_new * (1.0 - f) / jnp.maximum(f, 1e-12)
     upd = obs_valid & seeds.valid
     return SeedState(
@@ -109,15 +117,53 @@ def update_seeds(seeds: SeedState, z_obs: jax.Array, tau2: jax.Array,
     )
 
 
-def seed_status(seeds: SeedState, sigma_thresh: float = 1.0 / 200.0):
+def seed_status(seeds: SeedState, sigma_thresh: float = 1.0 / 200.0,
+                min_inlier_ratio: float = 0.5):
     """(converged, diverged) masks (SVO: sigma < z_range/200 converges;
-    inlier ratio < 0.1 diverges)."""
+    inlier ratio < 0.1 diverges). Convergence additionally requires a
+    healthy Beta inlier ratio: outlier streams can shrink sigma around a
+    junk mode while a/b keeps falling — such seeds must not promote."""
     inlier_ratio = seeds.a / jnp.maximum(seeds.a + seeds.b, 1e-9)
-    converged = seeds.valid & (jnp.sqrt(seeds.sigma2)
-                               < sigma_thresh * seeds.z_range)
+    converged = (seeds.valid
+                 & (jnp.sqrt(seeds.sigma2) < sigma_thresh * seeds.z_range)
+                 & (inlier_ratio > min_inlier_ratio))
     diverged = seeds.valid & (inlier_ratio < 0.1)
     return converged, diverged
 
 
 def seed_depths(seeds: SeedState) -> jax.Array:
     return 1.0 / jnp.maximum(seeds.mu, 1e-9)
+
+
+def depth_from_triangulation(T_cur_ref: jax.Array, f_ref: jax.Array,
+                             f_cur: jax.Array):
+    """Two-view depth along the REF bearing (SVO depthFromTriangulation):
+    solve the 2x2 least-squares  [R f_ref | -f_cur] [z_ref; z_cur] = -t
+    for each seed. f_ref/f_cur: (S, 3) unit bearings; T_cur_ref: (4, 4).
+
+    Returns (z_ref (S,), ok (S,)) — ok rejects near-parallel rays (singular
+    normal equations)."""
+    R = T_cur_ref[:3, :3]
+    t = T_cur_ref[:3, 3]
+    a = f_ref @ R.T              # (S, 3) = R f_ref
+    b = -f_cur
+    # normal equations of [a | b] x = -t
+    A11 = jnp.sum(a * a, axis=-1)
+    A12 = jnp.sum(a * b, axis=-1)
+    A22 = jnp.sum(b * b, axis=-1)
+    r1 = -jnp.sum(a * t[None, :], axis=-1)
+    r2 = -jnp.sum(b * t[None, :], axis=-1)
+    det = A11 * A22 - A12 * A12
+    ok = jnp.abs(det) > 1e-8
+    det_s = jnp.where(ok, det, 1.0)
+    z_ref = (A22 * r1 - A12 * r2) / det_s
+    z_cur = (A11 * r2 - A12 * r1) / det_s
+    ok = ok & (z_ref > 1e-3) & (z_cur > 1e-3)
+    return z_ref, ok
+
+
+def tau_inverse(z: jax.Array, tau: jax.Array) -> jax.Array:
+    """Map a depth-domain std tau to the inverse-depth domain (SVO:
+    0.5 * (1/max(eps, z - tau) - 1/(z + tau)))."""
+    lo = jnp.maximum(z - tau, 1e-4)
+    return 0.5 * (1.0 / lo - 1.0 / (z + tau))

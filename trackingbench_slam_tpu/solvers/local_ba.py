@@ -47,7 +47,13 @@ HI = jax.lax.Precision.HIGHEST
 
 
 class BAProblem(NamedTuple):
-    """Fixed-capacity window: K poses, M landmarks, O observations."""
+    """Fixed-capacity window: K poses, M landmarks, O observations.
+
+    obs_ur (optional): right-image u coordinate per observation for
+    rectified-stereo BA — adds the ORB-SLAM2-style third residual row
+    u_R - (u' - bf/z), which pins per-keyframe scale (a mono-only window
+    with one clamped pose has a free scale gauge). -1 marks a mono
+    observation; None disables the stereo rows entirely."""
 
     T_cw: jax.Array        # (K, 4, 4)
     points: jax.Array      # (M, 3)
@@ -56,6 +62,7 @@ class BAProblem(NamedTuple):
     obs_px: jax.Array      # (O, 2)
     obs_inv_sigma2: jax.Array  # (O,)
     obs_valid: jax.Array   # (O,) bool
+    obs_ur: jax.Array | None = None  # (O,) right-u, -1 = mono
 
 
 class BAResult(NamedTuple):
@@ -66,40 +73,64 @@ class BAResult(NamedTuple):
 
 
 def _obs_residuals(cam, T_cw, points, p: BAProblem):
-    """Residuals + per-observation Jacobians for the full batch."""
+    """Residuals + per-observation Jacobians for the full batch.
+
+    Returns (r (O,R), pc, J (O,R,6), Jl (O,R,3), row_ok (O,R)) with R = 2
+    for mono problems, 3 when stereo rows are present."""
     T_o = T_cw[p.obs_kf]                 # (O, 4, 4)
     X_o = points[p.obs_lm]               # (O, 3)
     R_o = T_o[:, :3, :3]
     pc = jnp.einsum("oij,oj->oi", R_o, X_o, precision=HI) + T_o[:, :3, 3]
     proj = cam_mod.world2cam(cam, pc)
     r = p.obs_px - proj                  # (O, 2)
-    Jp = cam_mod.project_jacobian(cam, pc)   # (O, 2, 6) d proj/d xi
-    # landmark Jacobian: d proj / d X_w = d proj / d pc . R
-    # d proj/d pc is Jp's translation columns (:, :, :3)
-    Jl = jnp.einsum("oij,ojk->oik", Jp[:, :, :3], R_o, precision=HI)  # (O,2,3)
-    return r, pc, Jp, Jl
+    J = cam_mod.project_jacobian(cam, pc)   # (O, 2, 6) d proj/d xi
+    row_ok = jnp.ones(r.shape, r.dtype)
+    if p.obs_ur is not None:
+        x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]
+        zs = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
+        ur_pred = proj[:, 0] - cam.bf / zs
+        r_ur = p.obs_ur - ur_pred
+        # d z / d xi for a left-multiplied increment: [0, 0, 1, y, -x, 0]
+        Jz = jnp.stack([jnp.zeros_like(x), jnp.zeros_like(x),
+                        jnp.ones_like(x), y, -x, jnp.zeros_like(x)],
+                       axis=-1)
+        J_ur = J[:, 0, :] + (cam.bf / (zs * zs))[:, None] * Jz
+        r = jnp.concatenate([r, r_ur[:, None]], axis=-1)       # (O, 3)
+        J = jnp.concatenate([J, J_ur[:, None, :]], axis=1)     # (O, 3, 6)
+        row_ok = jnp.concatenate(
+            [row_ok, (p.obs_ur >= 0).astype(r.dtype)[:, None]], axis=-1)
+    # landmark Jacobian: d row / d X_w = (d row / d pc) . R, and the
+    # translation columns of J ARE d row / d pc (left-mult convention)
+    Jl = jnp.einsum("oij,ojk->oik", J[:, :, :3], R_o, precision=HI)
+    return r, pc, J, Jl, row_ok
+
+
+def _obs_chi2(r, row_ok, inv_sigma2):
+    return jnp.sum(r * r * row_ok, axis=-1) * inv_sigma2
 
 
 def build_ba_blocks(cam, T_cw, points, p: BAProblem, huber_delta: float | None):
     """Per-shard block accumulation (the psum unit for distributed BA)."""
     K = T_cw.shape[0]
     M = points.shape[0]
-    r, pc, Jp, Jl = _obs_residuals(cam, T_cw, points, p)
-    chi2 = jnp.sum(r * r, axis=-1) * p.obs_inv_sigma2
+    r, pc, J, Jl, row_ok = _obs_residuals(cam, T_cw, points, p)
+    chi2 = _obs_chi2(r, row_ok, p.obs_inv_sigma2)
     w = p.obs_inv_sigma2 * p.obs_valid * (pc[:, 2] > 0.05)
     if huber_delta is not None:
         w = w * _huber_weight(chi2, huber_delta)
-    Jpw = Jp * w[:, None, None]
+    W = w[:, None] * row_ok                  # (O, R) per-row weights
+    Jw = J * W[:, :, None]
+    Jlw = Jl * W[:, :, None]
     U = jnp.zeros((K, 6, 6)).at[p.obs_kf].add(
-        jnp.einsum("oij,oik->ojk", Jpw, Jp, precision=HI))
+        jnp.einsum("oij,oik->ojk", Jw, J, precision=HI))
     V = jnp.zeros((M, 3, 3)).at[p.obs_lm].add(
-        jnp.einsum("oij,oik->ojk", Jl * w[:, None, None], Jl, precision=HI))
+        jnp.einsum("oij,oik->ojk", Jlw, Jl, precision=HI))
     Wb = jnp.zeros((M, K, 6, 3)).at[p.obs_lm, p.obs_kf].add(
-        jnp.einsum("oij,oik->ojk", Jpw, Jl, precision=HI))
+        jnp.einsum("oij,oik->ojk", Jw, Jl, precision=HI))
     bp = jnp.zeros((K, 6)).at[p.obs_kf].add(
-        jnp.einsum("oij,oi->oj", Jpw, r, precision=HI))
+        jnp.einsum("oij,oi->oj", Jw, r, precision=HI))
     bl = jnp.zeros((M, 3)).at[p.obs_lm].add(
-        jnp.einsum("oij,oi->oj", Jl * w[:, None, None], r, precision=HI))
+        jnp.einsum("oij,oi->oj", Jlw, r, precision=HI))
     rho = chi2 if huber_delta is None else _huber_rho(chi2, huber_delta)
     cost = jnp.sum(jnp.where(p.obs_valid, rho, 0.0))
     return U, V, Wb, bp, bl, cost
@@ -151,8 +182,8 @@ def bundle_adjust(cam: cam_mod.CameraParams, problem: BAProblem,
     LocalBA::PoseOptimization's scheme, sharing its Huber/chi2 constants)."""
 
     def total_cost(T_cw, points):
-        r, pc, _, _ = _obs_residuals(cam, T_cw, points, problem)
-        chi2 = jnp.sum(r * r, axis=-1) * problem.obs_inv_sigma2
+        r, pc, _, _, row_ok = _obs_residuals(cam, T_cw, points, problem)
+        chi2 = _obs_chi2(r, row_ok, problem.obs_inv_sigma2)
         chi2 = jnp.where(pc[:, 2] <= 0.05, 0.0, chi2)
         rho = chi2 if huber_delta is None else _huber_rho(chi2, huber_delta)
         return jnp.sum(jnp.where(problem.obs_valid, rho, 0.0))
@@ -178,7 +209,10 @@ def bundle_adjust(cam: cam_mod.CameraParams, problem: BAProblem,
         (problem.T_cw, problem.points, jnp.asarray(init_lambda, jnp.float32),
          total_cost(problem.T_cw, problem.points)))
     T_cw = jax.vmap(se3.normalize)(T_cw)
-    r, pc, _, _ = _obs_residuals(cam, T_cw, points, problem)
-    chi2 = jnp.sum(r * r, axis=-1) * problem.obs_inv_sigma2
-    inliers = problem.obs_valid & (chi2 <= 5.991) & (pc[:, 2] > 0.05)
+    r, pc, _, _, row_ok = _obs_residuals(cam, T_cw, points, problem)
+    chi2 = _obs_chi2(r, row_ok, problem.obs_inv_sigma2)
+    # 2-dof gate for mono observations, 3-dof (7.815) for stereo rows
+    gate = 5.991 if problem.obs_ur is None else jnp.where(
+        problem.obs_ur >= 0, 7.815, 5.991)
+    inliers = problem.obs_valid & (chi2 <= gate) & (pc[:, 2] > 0.05)
     return BAResult(T_cw=T_cw, points=points, chi2=cost, inliers=inliers)

@@ -173,6 +173,10 @@ class PipelineConfig:
     map: MapConfig = MapConfig()
     mesh: MeshConfig = MeshConfig()
     keyframe_every: int = 10  # reference inserts a KF every 10 frames (test_vo.cpp:772)
+    # run windowed local BA (models/local_mapping.py) after every N-th
+    # keyframe insertion; 0 disables the stage (motion-only tracking, the
+    # reference's live behavior)
+    local_ba_every: int = 2
     # pyramid levels for frame-to-frame LK. With the constant-velocity flow
     # prior carried in VOState, 2 half-scale levels cover ~+-24 px of
     # residual motion at full res; each extra level costs ~2 us/point of
