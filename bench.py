@@ -25,6 +25,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import os
 import sys
@@ -209,6 +210,9 @@ def main():
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--quick", action="store_true")
     p.add_argument("--frames", type=int, default=None)
+    p.add_argument("--ba-every", type=int, default=None,
+                   help="override local_ba_every (0 disables local BA)")
+    p.add_argument("--skip-cpu-ref", action="store_true")
     args = p.parse_args()
 
     import jax
@@ -216,6 +220,8 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     cfg, baseline = build_config()
+    if args.ba_every is not None:
+        cfg = dataclasses.replace(cfg, local_ba_every=args.ba_every)
     n = args.frames or (14 if args.quick else 40)
     print(f"rendering {n} corridor stereo frames "
           f"({cfg.camera.width}x{cfg.camera.height})...", file=sys.stderr)
@@ -223,8 +229,11 @@ def main():
 
     dev = jax.devices()[0]
     fps_dev, ate = time_pipeline(cfg, frames, gt, dev.platform)
-    fps_cpu, ate_cpu = time_cpu_reference(cfg, frames, gt,
-                                          max_frames=min(n, 12))
+    if args.skip_cpu_ref:
+        fps_cpu, ate_cpu = float("nan"), float("nan")
+    else:
+        fps_cpu, ate_cpu = time_cpu_reference(cfg, frames, gt,
+                                              max_frames=min(n, 12))
     oracle = real_data_depth_error()
 
     print(json.dumps({

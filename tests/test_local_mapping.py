@@ -205,3 +205,49 @@ def test_local_ba_reduces_drift_on_corridor():
     ate_on, ee_on = results[2]
     assert ee_on < ee_off, results        # endpoint drift drops
     assert ate_on < ate_off * 1.05, results  # aligned ATE no worse
+
+
+def test_grouped_ba_matches_flat(rng):
+    """The scatter-free grouped formulation must solve the same problem as
+    the flat obs-list path."""
+    T_gt, pts_gt, obs = _synthetic_window(rng)
+    T0 = T_gt.copy()
+    for k in range(1, T0.shape[0]):
+        T0[k, :3, 3] += rng.randn(3).astype(np.float32) * 0.02
+    pts0 = pts_gt + rng.randn(*pts_gt.shape).astype(np.float32) * 0.03
+    prob = local_ba.BAProblem(T_cw=jnp.asarray(T0),
+                              points=jnp.asarray(pts0), **obs)
+    res_flat = local_ba.bundle_adjust(CAM, prob, iters=12, num_fixed=1)
+
+    # regroup the flat obs into the (L, O) layout
+    M = pts_gt.shape[0]
+    O = 8
+    g_kf = -np.ones((M, O), np.int32)
+    g_px = np.zeros((M, O, 2), np.float32)
+    g_ur = -np.ones((M, O), np.float32)
+    g_ok = np.zeros((M, O), bool)
+    g_is = np.ones((M, O), np.float32)
+    counts = np.zeros(M, np.int32)
+    for o in range(obs["obs_kf"].shape[0]):
+        m_ = int(obs["obs_lm"][o])
+        c = counts[m_]
+        if c >= O:
+            continue
+        g_kf[m_, c] = int(obs["obs_kf"][o])
+        g_px[m_, c] = np.asarray(obs["obs_px"][o])
+        g_ur[m_, c] = float(obs["obs_ur"][o])
+        g_ok[m_, c] = True
+        counts[m_] += 1
+    gprob = local_ba.GroupedBAProblem(
+        T_cw=jnp.asarray(T0), points=jnp.asarray(pts0),
+        obs_kf=jnp.asarray(g_kf), obs_px=jnp.asarray(g_px),
+        obs_inv_sigma2=jnp.asarray(g_is), obs_valid=jnp.asarray(g_ok),
+        obs_ur=jnp.asarray(g_ur))
+    T_g, X_g = local_ba.bundle_adjust_grouped(CAM, gprob, iters=12,
+                                              num_fixed=1)
+    c_err = np.linalg.norm(_cam_centers(T_g) - _cam_centers(res_flat.T_cw),
+                           axis=1).max()
+    assert c_err < 1e-3, c_err
+    p_err = np.linalg.norm(np.asarray(X_g) - np.asarray(res_flat.points),
+                           axis=1)
+    assert np.median(p_err) < 2e-3, np.median(p_err)

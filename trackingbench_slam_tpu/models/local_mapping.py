@@ -6,22 +6,27 @@ src/mapping/LocalBA.cpp:293-304), but its live loop only ever runs
 motion-only pose optimization; round 1 of this repo built the full Schur
 solver (solvers/local_ba.py) yet likewise never called it from a pipeline.
 This module is the missing stage: every K-th keyframe, the whole keyframe
-ring + the map's observation lists become one BAProblem, the Schur-reduced
+ring + the map's observation lists become one BA problem, the Schur-reduced
 LM solver refines all ring poses and observed landmarks, and the corrections
 are scattered back into (KeyframeStore, MapState, current pose).
 
 Design notes (TPU-first):
-  * The observation set is the map's (obs_kf, obs_feat) table flattened to a
-    fixed (M_cap * K_obs,) batch — no host-side graph building, the whole
-    stage is ONE jitted dispatch. Stale entries are already impossible:
-    keyframe eviction purges its observations (map.purge_kf_slot) and
-    landmark-slot reuse resets the lists (map.add_points).
+  * The observation set keeps the map's NATIVE (landmark, obs-slot) layout
+    (GroupedBAProblem): every normal-equation block builds with dense
+    one-hot einsums. The flat obs-list formulation needs 262k-row
+    scatter-adds, which the TPU serializes (~1 s per solve); grouped is ~ms.
+  * Landmark compaction: only the top `solver.max_landmarks` slots by live
+    observation count enter the solve (static shape; the 16k-slot table is
+    mostly empty). Write-back scatters through the selection indices.
   * The window is the full keyframe ring (Map::RemoveOldFrames already
     bounds it, Map.cpp:103-114), ordered oldest-first so the gauge clamp
-    (num_fixed=1) pins the oldest pose.
+    (num_fixed=1) pins the oldest pose. Stereo u_R rows pin per-keyframe
+    scale.
   * The current frame's pose rides the newest keyframe's correction
     (T_cur <- T_kf_new . T_kf_old^-1 . T_cur), keeping tracking consistent
-    with the refined map.
+    with the refined map. Stale entries are impossible: keyframe eviction
+    purges its observations (map.purge_kf_slot) and landmark-slot reuse
+    resets the lists (map.add_points).
 """
 
 from __future__ import annotations
@@ -34,24 +39,63 @@ import jax.numpy as jnp
 from trackingbench_slam_tpu.geometry import camera as cam_mod
 from trackingbench_slam_tpu.geometry import se3
 from trackingbench_slam_tpu.solvers import pose_opt
-from trackingbench_slam_tpu.solvers.local_ba import BAProblem, bundle_adjust
+from trackingbench_slam_tpu.solvers.local_ba import (
+    BAProblem, GroupedBAProblem, bundle_adjust_grouped)
 from trackingbench_slam_tpu.utils.config import PipelineConfig
 
 
-def build_window_problem(m, kfs, scale_factor: float):
-    """Flatten the keyframe ring + map observation lists into a BAProblem.
+def build_window_problem_grouped(m, kfs, scale_factor: float,
+                                 max_landmarks: int):
+    """Keyframe ring + map observation lists -> GroupedBAProblem over the
+    top-`max_landmarks` landmark slots by live observation count.
 
-    Returns (problem, order) where order[d] = ring slot at dense window
-    index d (oldest first; invalid slots parked at the end)."""
+    Returns (problem, order, lm_idx) with order[d] = ring slot at dense
+    window index d (oldest first) and lm_idx (L,) the selected map slots."""
     KF = kfs.T_cw.shape[0]
-    M, K = m.obs_kf.shape
     big = jnp.iinfo(jnp.int32).max
     fid = jnp.where(kfs.valid, kfs.frame_id, big)
     order = jnp.argsort(fid)                      # dense -> slot
     dense_of_slot = jnp.zeros((KF,), jnp.int32).at[order].set(
         jnp.arange(KF, dtype=jnp.int32))          # slot -> dense
 
-    kf_slot = m.obs_kf.reshape(-1)                # (M*K,)
+    slot_all = jnp.clip(m.obs_kf, 0, KF - 1)
+    live = ((m.obs_kf >= 0) & kfs.valid[slot_all]) & m.valid[:, None]
+    n_live = jnp.sum(live, axis=1)
+    _, lm_idx = jax.lax.top_k(n_live, max_landmarks)  # (L,)
+
+    kf_slot = m.obs_kf[lm_idx]                    # (L, O)
+    feat = m.obs_feat[lm_idx]
+    slot_c = jnp.clip(kf_slot, 0, KF - 1)
+    feat_c = jnp.clip(feat, 0, kfs.kp_xy.shape[1] - 1)
+    ok = ((kf_slot >= 0) & (feat >= 0) & m.valid[lm_idx][:, None]
+          & kfs.valid[slot_c] & kfs.kp_valid[slot_c, feat_c])
+    px = kfs.kp_xy[slot_c, feat_c]
+    inv_s2 = pose_opt.level_inv_sigma2(kfs.kp_level[slot_c, feat_c],
+                                       scale_factor)
+    problem = GroupedBAProblem(
+        T_cw=kfs.T_cw[order],
+        points=m.pos[lm_idx],
+        obs_kf=jnp.where(ok, dense_of_slot[slot_c], -1),
+        obs_px=px,
+        obs_inv_sigma2=inv_s2,
+        obs_valid=ok,
+        obs_ur=kfs.kp_ur[slot_c, feat_c],
+    )
+    return problem, order, lm_idx
+
+
+def build_window_problem(m, kfs, scale_factor: float):
+    """Flat-layout window builder (kept for the distributed solver and
+    tests; the live stage uses the grouped builder above). Returns
+    (BAProblem, order)."""
+    KF = kfs.T_cw.shape[0]
+    M, K = m.obs_kf.shape
+    big = jnp.iinfo(jnp.int32).max
+    fid = jnp.where(kfs.valid, kfs.frame_id, big)
+    order = jnp.argsort(fid)
+    dense_of_slot = jnp.zeros((KF,), jnp.int32).at[order].set(
+        jnp.arange(KF, dtype=jnp.int32))
+    kf_slot = m.obs_kf.reshape(-1)
     feat = m.obs_feat.reshape(-1)
     lm = jnp.repeat(jnp.arange(M, dtype=jnp.int32), K)
     slot_c = jnp.clip(kf_slot, 0, KF - 1)
@@ -60,8 +104,8 @@ def build_window_problem(m, kfs, scale_factor: float):
           & m.valid[lm] & kfs.valid[slot_c]
           & kfs.kp_valid[slot_c, feat_c])
     px = kfs.kp_xy[slot_c, feat_c]
-    lvl = kfs.kp_level[slot_c, feat_c]
-    inv_s2 = pose_opt.level_inv_sigma2(lvl, scale_factor)
+    inv_s2 = pose_opt.level_inv_sigma2(kfs.kp_level[slot_c, feat_c],
+                                       scale_factor)
     problem = BAProblem(
         T_cw=kfs.T_cw[order],
         points=m.pos,
@@ -81,22 +125,21 @@ def local_ba_step(state, cam: cam_mod.CameraParams, cfg: PipelineConfig):
     the VOState. Runs as a single device program."""
     m, kfs = state.map, state.kfs
     KF = kfs.T_cw.shape[0]
-    M = m.capacity
-    problem, order = build_window_problem(m, kfs, cfg.pyramid.scale_factor)
-    res = bundle_adjust(cam, problem, iters=cfg.solver.ba_iters,
-                        huber_delta=cfg.solver.huber_delta,
-                        init_lambda=cfg.solver.init_lambda, num_fixed=1)
+    problem, order, lm_idx = build_window_problem_grouped(
+        m, kfs, cfg.pyramid.scale_factor, cfg.solver.max_landmarks)
+    T_opt, X_opt = bundle_adjust_grouped(
+        cam, problem, iters=cfg.solver.ba_iters,
+        huber_delta=cfg.solver.huber_delta,
+        init_lambda=cfg.solver.init_lambda, num_fixed=1)
 
     ord_valid = kfs.valid[order]
-    T_new = jnp.where(ord_valid[:, None, None], res.T_cw, problem.T_cw)
+    T_new = jnp.where(ord_valid[:, None, None], T_opt, problem.T_cw)
     kfs = kfs._replace(T_cw=kfs.T_cw.at[order].set(T_new))
 
     # only landmarks that actually had residuals move
-    touched = jnp.zeros((M,), bool).at[
-        jnp.where(problem.obs_valid, problem.obs_lm, M)].set(
-        True, mode="drop")
-    m = m._replace(pos=jnp.where((touched & m.valid)[:, None],
-                                 res.points, m.pos))
+    touched = jnp.any(problem.obs_valid, axis=1) & m.valid[lm_idx]
+    new_pos = jnp.where(touched[:, None], X_opt, problem.points)
+    m = m._replace(pos=m.pos.at[lm_idx].set(new_pos))
 
     # propagate the newest keyframe's correction to the live pose
     newest = jnp.clip(jnp.sum(kfs.valid) - 1, 0, KF - 1)

@@ -173,6 +173,126 @@ def schur_solve(U, V, Wb, bp, bl, lam, num_fixed: int = 1):
     return dxi, dX
 
 
+class GroupedBAProblem(NamedTuple):
+    """Landmark-grouped window: the observation table keeps the map's
+    native (L, O) per-landmark layout instead of a flat obs list. Every
+    normal-equation block then builds with DENSE one-hot einsums — the flat
+    layout's 262k-row scatter-adds serialize on TPU and cost ~100 ms each,
+    which made the flat path ~1 s per solve; this one is ~ms.
+
+    obs_kf: (L, O) dense window pose ids, -1 = empty slot."""
+
+    T_cw: jax.Array            # (K, 4, 4)
+    points: jax.Array          # (L, 3)
+    obs_kf: jax.Array          # (L, O) int32 in [0, K) or -1
+    obs_px: jax.Array          # (L, O, 2)
+    obs_inv_sigma2: jax.Array  # (L, O)
+    obs_valid: jax.Array       # (L, O) bool
+    obs_ur: jax.Array | None = None  # (L, O), -1 = mono
+
+
+def _grouped_residuals(cam, T_cw, points, p: GroupedBAProblem):
+    """(r (L,O,R), pc, J (L,O,R,6), Jl (L,O,R,3), row_ok (L,O,R))."""
+    K = T_cw.shape[0]
+    kf = jnp.clip(p.obs_kf, 0, K - 1)
+    T_o = T_cw[kf]                          # (L, O, 4, 4)
+    R_o = T_o[..., :3, :3]
+    pc = (jnp.einsum("loij,lj->loi", R_o, points, precision=HI)
+          + T_o[..., :3, 3])
+    proj = cam_mod.world2cam(cam, pc)
+    r = p.obs_px - proj                      # (L, O, 2)
+    J = cam_mod.project_jacobian(cam, pc)    # (L, O, 2, 6)
+    row_ok = jnp.ones(r.shape, r.dtype)
+    if p.obs_ur is not None:
+        x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
+        zs = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
+        r_ur = p.obs_ur - (proj[..., 0] - cam.bf / zs)
+        Jz = jnp.stack([jnp.zeros_like(x), jnp.zeros_like(x),
+                        jnp.ones_like(x), y, -x, jnp.zeros_like(x)],
+                       axis=-1)
+        J_ur = J[..., 0, :] + (cam.bf / (zs * zs))[..., None] * Jz
+        r = jnp.concatenate([r, r_ur[..., None]], axis=-1)
+        J = jnp.concatenate([J, J_ur[..., None, :]], axis=-2)
+        row_ok = jnp.concatenate(
+            [row_ok, (p.obs_ur >= 0).astype(r.dtype)[..., None]], axis=-1)
+    Jl = jnp.einsum("lorj,lojk->lork", J[..., :3], R_o, precision=HI)
+    return r, pc, J, Jl, row_ok
+
+
+def _grouped_chi2(r, row_ok, inv_s2):
+    return jnp.sum(r * r * row_ok, axis=-1) * inv_s2
+
+
+def build_grouped_blocks(cam, T_cw, points, p: GroupedBAProblem,
+                         huber_delta: float | None):
+    """Scatter-free block construction: pose-indexed sums go through ONE
+    one-hot (L, O, K) contraction; landmark-diagonal sums reduce over the
+    local O axis."""
+    K = T_cw.shape[0]
+    r, pc, J, Jl, row_ok = _grouped_residuals(cam, T_cw, points, p)
+    chi2 = _grouped_chi2(r, row_ok, p.obs_inv_sigma2)
+    ok = p.obs_valid & (p.obs_kf >= 0) & (pc[..., 2] > 0.05)
+    w = p.obs_inv_sigma2 * ok
+    if huber_delta is not None:
+        w = w * _huber_weight(chi2, huber_delta)
+    W = w[..., None] * row_ok                 # (L, O, R)
+    Jw = J * W[..., None]
+    Jlw = Jl * W[..., None]
+    onehot = jax.nn.one_hot(jnp.where(ok, p.obs_kf, K), K,
+                            dtype=J.dtype)    # (L, O, K); K-index drops
+    JtJ = jnp.einsum("lorj,lork->lojk", Jw, J, precision=HI)    # (L,O,6,6)
+    U = jnp.einsum("lok,loij->kij", onehot, JtJ, precision=HI)  # (K,6,6)
+    V = jnp.einsum("lorj,lork->ljk", Jlw, Jl, precision=HI)     # (L,3,3)
+    JtJl = jnp.einsum("lorj,lork->lojk", Jw, Jl, precision=HI)  # (L,O,6,3)
+    Wb = jnp.einsum("lok,loij->lkij", onehot, JtJl, precision=HI)
+    Jtr = jnp.einsum("lorj,lor->loj", Jw, r, precision=HI)      # (L,O,6)
+    bp = jnp.einsum("lok,loj->kj", onehot, Jtr, precision=HI)
+    bl = jnp.einsum("lorj,lor->lj", Jlw, r, precision=HI)       # (L,3)
+    rho = chi2 if huber_delta is None else _huber_rho(chi2, huber_delta)
+    cost = jnp.sum(jnp.where(ok, rho, 0.0))
+    return U, V, Wb, bp, bl, cost
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "huber_delta",
+                                             "num_fixed"))
+def bundle_adjust_grouped(cam: cam_mod.CameraParams, p: GroupedBAProblem,
+                          iters: int = 10,
+                          huber_delta: float | None = 2.4477,
+                          init_lambda: float = 1e-4,
+                          num_fixed: int = 1):
+    """LM loop over the grouped (scatter-free) blocks; same Schur solve.
+    Returns (T_cw (K,4,4), points (L,3))."""
+
+    def total_cost(T_cw, points):
+        r, pc, _, _, row_ok = _grouped_residuals(cam, T_cw, points, p)
+        chi2 = _grouped_chi2(r, row_ok, p.obs_inv_sigma2)
+        ok = p.obs_valid & (p.obs_kf >= 0) & (pc[..., 2] > 0.05)
+        rho = chi2 if huber_delta is None else _huber_rho(chi2, huber_delta)
+        return jnp.sum(jnp.where(ok, rho, 0.0))
+
+    def body(i, state):
+        T_cw, points, lam, cost = state
+        U, V, Wb, bp, bl, _ = build_grouped_blocks(cam, T_cw, points, p,
+                                                   huber_delta)
+        dxi, dX = schur_solve(U, V, Wb, bp, bl, lam, num_fixed)
+        T_new = jax.vmap(lambda d, T: se3.compose(se3.exp(d), T))(dxi, T_cw)
+        X_new = points + dX
+        c_new = total_cost(T_new, X_new)
+        accept = c_new < cost
+        T_cw = jnp.where(accept, T_new, T_cw)
+        points = jnp.where(accept, X_new, points)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9),
+                        jnp.minimum(lam * 10.0, 1e8))
+        cost = jnp.where(accept, c_new, cost)
+        return T_cw, points, lam, cost
+
+    T_cw, points, _, _ = jax.lax.fori_loop(
+        0, iters, body,
+        (p.T_cw, p.points, jnp.asarray(init_lambda, jnp.float32),
+         total_cost(p.T_cw, p.points)))
+    return jax.vmap(se3.normalize)(T_cw), points
+
+
 @functools.partial(jax.jit, static_argnames=("iters", "huber_delta", "num_fixed"))
 def bundle_adjust(cam: cam_mod.CameraParams, problem: BAProblem,
                   iters: int = 10, huber_delta: float | None = 2.4477,

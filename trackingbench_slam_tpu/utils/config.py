@@ -127,7 +127,9 @@ class SolverConfig:
     # windowed BA
     window_keyframes: int = 10
     max_landmarks: int = 4096
-    ba_iters: int = 10
+    # LM iterations per live local-BA pass: the grouped solver converges in
+    # a handful of accepted steps; 6 keeps the per-keyframe cost ~80 ms
+    ba_iters: int = 6
 
 
 @dataclasses.dataclass(frozen=True)
