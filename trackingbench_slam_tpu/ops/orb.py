@@ -40,10 +40,20 @@ _PATTERN_SEED = 20260817
 def brief_pattern() -> np.ndarray:
     """(256, 2, 2) int32: for each bit, two (x, y) offsets in [-13, 13].
 
-    Deterministic Gaussian sampling (BRIEF-II construction): both test points
-    ~ N(0, (patch/5)^2), clipped to the box, regenerated on collision so no
-    test compares a point with itself.
+    Prefers the LEARNED pattern (ops/orb_pattern_learned.py, produced by
+    tools/train_orb_pattern.py with the ORB paper's greedy decorrelation
+    search over this repo's own synthetic patch corpus — the same training
+    procedure behind the reference's bit_pattern_31_,
+    ORBextractor.cpp:90-348, with none of its data). Falls back to
+    deterministic Gaussian sampling (BRIEF-II construction) if the learned
+    table is absent.
     """
+    try:
+        from trackingbench_slam_tpu.ops.orb_pattern_learned import (
+            LEARNED_PAIRS)
+        return np.asarray(LEARNED_PAIRS, np.int32)
+    except ImportError:
+        pass
     rng = np.random.RandomState(_PATTERN_SEED)
     sigma = PATCH_SIZE / 5.0
     pts = []
