@@ -90,3 +90,54 @@ def test_distributed_runs_on_one_device(rng):
         jnp.asarray(np.asarray(T_d)[3]),
         se3.inverse(jnp.asarray(T_true[3])))))
     assert np.abs(err).max() < 5e-3
+
+
+def test_grouped_distributed_matches_single_device(rng):
+    """The grouped (scatter-free, production) formulation sharded over the
+    8-device mesh must agree with the single-device grouped solver."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tests"))
+    from test_local_mapping import _synthetic_window, _cam_centers, CAM as GCAM
+
+    T_gt, pts_gt, obs = _synthetic_window(rng, K=5, M=128)
+    T0 = T_gt.copy()
+    for k in range(1, T0.shape[0]):
+        T0[k, :3, 3] += rng.randn(3).astype(np.float32) * 0.02
+    pts0 = pts_gt + rng.randn(*pts_gt.shape).astype(np.float32) * 0.03
+
+    # regroup into the (L, O) layout with L divisible by 8
+    L, O = 128, 8
+    g_kf = -np.ones((L, O), np.int32)
+    g_px = np.zeros((L, O, 2), np.float32)
+    g_ur = -np.ones((L, O), np.float32)
+    g_ok = np.zeros((L, O), bool)
+    counts = np.zeros(L, np.int32)
+    for o in range(obs["obs_kf"].shape[0]):
+        m_ = int(obs["obs_lm"][o])
+        c = counts[m_]
+        if c >= O:
+            continue
+        g_kf[m_, c] = int(obs["obs_kf"][o])
+        g_px[m_, c] = np.asarray(obs["obs_px"][o])
+        g_ur[m_, c] = float(obs["obs_ur"][o])
+        g_ok[m_, c] = True
+        counts[m_] += 1
+    gprob = local_ba.GroupedBAProblem(
+        T_cw=jnp.asarray(T0), points=jnp.asarray(pts0),
+        obs_kf=jnp.asarray(g_kf), obs_px=jnp.asarray(g_px),
+        obs_inv_sigma2=jnp.ones((L, O), jnp.float32),
+        obs_valid=jnp.asarray(g_ok), obs_ur=jnp.asarray(g_ur))
+
+    T_s, X_s = local_ba.bundle_adjust_grouped(GCAM, gprob, iters=10,
+                                              num_fixed=1)
+    m = mesh_mod.make_mesh(lm=8)
+    T_d, X_d = dist_ba.distributed_bundle_adjust_grouped(
+        m, GCAM, gprob, iters=10, num_fixed=1)
+    for k in range(T_gt.shape[0]):
+        err = np.asarray(se3.log(se3.compose(
+            jnp.asarray(np.asarray(T_d)[k]),
+            se3.inverse(jnp.asarray(np.asarray(T_s)[k])))))
+        assert np.abs(err).max() < 5e-4, (k, err)
+    lm_err = np.linalg.norm(np.asarray(X_d) - np.asarray(X_s), axis=1)
+    assert np.median(lm_err) < 1e-3

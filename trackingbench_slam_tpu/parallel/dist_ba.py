@@ -177,3 +177,98 @@ def distributed_bundle_adjust(mesh: Mesh, cam: cam_mod.CameraParams,
     ))
     return fn(sp.T_cw, sp.points, sp.obs_kf, sp.obs_lm, sp.obs_px,
               sp.obs_inv_sigma2, sp.obs_valid)
+
+
+def distributed_bundle_adjust_grouped(mesh: Mesh, cam: cam_mod.CameraParams,
+                                      gp: "local_ba.GroupedBAProblem",
+                                      iters: int = 10,
+                                      huber_delta: float | None = 2.4477,
+                                      init_lambda: float = 1e-4,
+                                      num_fixed: int = 1):
+    """Distributed GROUPED bundle adjustment — the production (scatter-free)
+    formulation sharded over the 'lm' axis.
+
+    The grouped (L, O) layout shards trivially: each device takes an equal
+    row block of landmarks WITH their observation rows (no partitioner —
+    obs_kf already holds dense window ids, nothing to remap). Per LM
+    iteration the only collective is the same single psum of the reduced
+    (6K, 6K) camera system + rhs + cost as the flat path; landmark blocks
+    never leave their shard. Requires L %% mesh size == 0 (pad with invalid
+    rows).
+
+    Returns (T_cw (K, 4, 4), points (L, 3))."""
+    lm_axis = "lm"
+    K = gp.T_cw.shape[0]
+
+    def shard_fn(T_cw, points, obs_kf, obs_px, obs_is, obs_va, obs_ur):
+        prob = local_ba.GroupedBAProblem(
+            T_cw=T_cw, points=points, obs_kf=obs_kf, obs_px=obs_px,
+            obs_inv_sigma2=obs_is, obs_valid=obs_va, obs_ur=obs_ur)
+
+        def total_cost(T, X):
+            r, pc, _, _, row_ok = local_ba._grouped_residuals(cam, T, X,
+                                                              prob)
+            chi2 = local_ba._grouped_chi2(r, row_ok, obs_is)
+            ok = obs_va & (obs_kf >= 0) & (pc[..., 2] > 0.05)
+            rho = chi2 if huber_delta is None else _huber_rho(chi2,
+                                                              huber_delta)
+            return jax.lax.psum(jnp.sum(jnp.where(ok, rho, 0.0)), lm_axis)
+
+        def body(i, state):
+            T, X, lam, cost = state
+            U, V, Wb, bp, bl, _ = local_ba.build_grouped_blocks(
+                cam, T, X, prob._replace(T_cw=T, points=X), huber_delta)
+            eye3 = jnp.eye(3, dtype=V.dtype)
+            Vinv = jnp.linalg.inv(V + lam * eye3[None])
+            T1 = jnp.einsum("mkij,mjl->mkil", Wb, Vinv,
+                            precision=jax.lax.Precision.HIGHEST)
+            S_local = -jnp.einsum("maij,mbkj->aibk", T1, Wb,
+                                  precision=jax.lax.Precision.HIGHEST)
+            S_local = S_local.at[jnp.arange(K), :, jnp.arange(K), :].add(U)
+            rhs_local = bp - jnp.einsum("mkij,mj->ki", T1, bl,
+                                        precision=jax.lax.Precision.HIGHEST)
+            S = jax.lax.psum(S_local, lm_axis)
+            rhs = jax.lax.psum(rhs_local, lm_axis)
+            S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(
+                lam * jnp.eye(6)[None])
+            for f in range(num_fixed):
+                S = S.at[f].set(0.0).at[:, :, f, :].set(0.0)
+                S = S.at[f, jnp.arange(6), f, jnp.arange(6)].set(1.0)
+                rhs = rhs.at[f].set(0.0)
+            Sd = S.reshape(6 * K, 6 * K)
+            L, low = jax.scipy.linalg.cho_factor(Sd, lower=True)
+            dxi = jax.scipy.linalg.cho_solve(
+                (L, low), rhs.reshape(-1)).reshape(K, 6)
+            corr = jnp.einsum("mkij,ki->mj", Wb, dxi,
+                              precision=jax.lax.Precision.HIGHEST)
+            dX = jnp.einsum("mij,mj->mi", Vinv, bl - corr,
+                            precision=jax.lax.Precision.HIGHEST)
+            T_new = jax.vmap(lambda d, t: se3.compose(se3.exp(d), t))(dxi, T)
+            X_new = X + dX
+            c_new = total_cost(T_new, X_new)
+            accept = c_new < cost
+            T = jnp.where(accept, T_new, T)
+            X = jnp.where(accept, X_new, X)
+            lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9),
+                            jnp.minimum(lam * 10.0, 1e8))
+            cost = jnp.where(accept, c_new, cost)
+            return T, X, lam, cost
+
+        T, X, lam, cost = jax.lax.fori_loop(
+            0, iters, body,
+            (T_cw, points, jnp.asarray(init_lambda, jnp.float32),
+             total_cost(T_cw, points)))
+        return jax.vmap(se3.normalize)(T), X
+
+    obs_ur = gp.obs_ur
+    if obs_ur is None:  # mono problem: explicit all-mono stereo column
+        obs_ur = jnp.full(gp.obs_valid.shape, -1.0, jnp.float32)
+    fn = jax.jit(shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(lm_axis), P(lm_axis), P(lm_axis), P(lm_axis),
+                  P(lm_axis), P(lm_axis)),
+        out_specs=(P(), P(lm_axis)),
+        check_vma=False,
+    ))
+    return fn(gp.T_cw, gp.points, gp.obs_kf, gp.obs_px,
+              gp.obs_inv_sigma2, gp.obs_valid, obs_ur)
