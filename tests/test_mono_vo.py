@@ -96,13 +96,17 @@ def test_mono_vo_tracks_corridor_scale_aligned():
         CorridorScene, lateral_trajectory)
 
     cam = CAMC
+    # local_ba_every=2 also exercises MONO windowed BA (num_fixed=2 pins
+    # the scale gauge; this run is the regression guard for the NaN-step
+    # acceptance bug — a non-finite step scored cost 0 under the
+    # behind-camera mask and poisoned the map)
     cfg = PipelineConfig(
         camera=cam,
         pyramid=PyramidConfig(num_levels=3, scale_factor=0.8),
         extractor=ExtractorConfig(num_features=800, min_threshold=10,
                                   cell_size=24),
         map=MapConfig(max_keyframes=12, max_points=8192),
-        keyframe_every=4, local_ba_every=0)
+        keyframe_every=4, local_ba_every=2)
     scene = CorridorScene(cam)
     n = 28
     # sideways motion gives parallax for the bootstrap; gentle yaw after
@@ -114,8 +118,11 @@ def test_mono_vo_tracks_corridor_scale_aligned():
     P = vo.poses()
     # evaluate only the post-init segment (poses before initialization are
     # placeholders; the mono world is anchored at frame 0)
+    assert np.isfinite(P).all()
     k0 = next(i for i in range(1, n) if not np.allclose(P[i], np.eye(4)))
     ate = metrics.ate_rmse(P[k0:], gt[k0:], align=True, with_scale=True)
     assert ate < 0.06, ate
     alive = int(np.asarray(vo.state.map.valid).sum())
     assert alive > 150, alive
+    assert np.isfinite(np.asarray(vo.state.map.pos)[
+        np.asarray(vo.state.map.valid)]).all()

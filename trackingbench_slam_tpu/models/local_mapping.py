@@ -119,10 +119,15 @@ def build_window_problem(m, kfs, scale_factor: float):
     return problem, order
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def local_ba_step(state, cam: cam_mod.CameraParams, cfg: PipelineConfig):
+@functools.partial(jax.jit, static_argnames=("cfg", "num_fixed"))
+def local_ba_step(state, cam: cam_mod.CameraParams, cfg: PipelineConfig,
+                  num_fixed: int = 1):
     """One local-mapping pass: windowed BA over the ring, write-back into
-    the VOState. Runs as a single device program."""
+    the VOState. Runs as a single device program.
+
+    num_fixed: clamped oldest poses. Stereo windows use 1 (the u_R rows pin
+    scale); MONO windows must use 2 — with a single clamp the similarity
+    gauge leaves scale free and BA wanders along it."""
     m, kfs = state.map, state.kfs
     KF = kfs.T_cw.shape[0]
     problem, order, lm_idx = build_window_problem_grouped(
@@ -130,7 +135,7 @@ def local_ba_step(state, cam: cam_mod.CameraParams, cfg: PipelineConfig):
     T_opt, X_opt = bundle_adjust_grouped(
         cam, problem, iters=cfg.solver.ba_iters,
         huber_delta=cfg.solver.huber_delta,
-        init_lambda=cfg.solver.init_lambda, num_fixed=1)
+        init_lambda=cfg.solver.init_lambda, num_fixed=num_fixed)
 
     ord_valid = kfs.valid[order]
     T_new = jnp.where(ord_valid[:, None, None], T_opt, problem.T_cw)

@@ -182,6 +182,7 @@ class MonoVO:
         self._kf_lk_pyr = None    # last keyframe's LK pyramid
         self._kf_T_cw = None
         self._fid = 0
+        self._kf_count = 0
         self._key = jax.random.PRNGKey(7)
 
     def _try_bootstrap(self, img):
@@ -259,6 +260,14 @@ class MonoVO:
             self.state = mono_keyframe_step(
                 self.state, self._kf_lk_pyr, self._kf_T_cw, self.cam,
                 self.cfg)
+            self._kf_count += 1
+            if (self.cfg.local_ba_every > 0
+                    and self._kf_count % self.cfg.local_ba_every == 0):
+                from trackingbench_slam_tpu.models.local_mapping import (
+                    local_ba_step)
+                # mono window: TWO clamped poses pin the scale gauge
+                self.state = local_ba_step(self.state, self.cam, self.cfg,
+                                           num_fixed=2)
             self._kf_lk_pyr = self.state.prev.lk_pyr
             self._kf_T_cw = self.state.T_cw
         self.trajectory.append(self.state.T_cw)

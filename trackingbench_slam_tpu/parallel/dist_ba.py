@@ -124,8 +124,7 @@ def distributed_bundle_adjust(mesh: Mesh, cam: cam_mod.CameraParams,
             U, V, Wb, bp, bl, _ = local_ba.build_ba_blocks(
                 cam, T, X, prob, huber_delta)
             # local Schur contributions
-            eye3 = jnp.eye(3, dtype=V.dtype)
-            Vinv = jnp.linalg.inv(V + lam * eye3[None])
+            Vinv = jnp.linalg.inv(local_ba.damp_diagonal(V, lam, 3))
             T1 = jnp.einsum("mkij,mjl->mkil", Wb, Vinv,
                             precision=jax.lax.Precision.HIGHEST)
             S_local = -jnp.einsum("maij,mbkj->aibk", T1, Wb,
@@ -136,8 +135,11 @@ def distributed_bundle_adjust(mesh: Mesh, cam: cam_mod.CameraParams,
             # ONE collective: reduced camera system over ICI
             S = jax.lax.psum(S_local, lm_axis)
             rhs = jax.lax.psum(rhs_local, lm_axis)
-            S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(
-                lam * jnp.eye(6)[None])
+            # Marquardt damping on the assembled diagonal (see
+            # local_ba.damp_diagonal; the pre-psum U is undamped)
+            diagS = S[jnp.arange(K), :, jnp.arange(K), :]
+            S = S.at[jnp.arange(K), :, jnp.arange(K), :].set(
+                local_ba.damp_diagonal(diagS, lam, 6))
             for f in range(num_fixed):
                 S = S.at[f].set(0.0).at[:, :, f, :].set(0.0)
                 S = S.at[f, jnp.arange(6), f, jnp.arange(6)].set(1.0)
@@ -154,7 +156,11 @@ def distributed_bundle_adjust(mesh: Mesh, cam: cam_mod.CameraParams,
             T_new = jax.vmap(lambda d, t: se3.compose(se3.exp(d), t))(dxi, T)
             X_new = X + dX
             c_new = total_cost(T_new, X_new)
-            accept = c_new < cost
+            # never accept a non-finite step (NaN positions fall out of the
+            # cost mask and would score 0 — see local_ba.bundle_adjust)
+            accept = ((c_new < cost) & jnp.isfinite(c_new)
+                      & jnp.all(jnp.isfinite(dxi))
+                      & jnp.all(jnp.isfinite(dX)))
             T = jnp.where(accept, T_new, T)
             X = jnp.where(accept, X_new, X)
             lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9),
@@ -218,8 +224,7 @@ def distributed_bundle_adjust_grouped(mesh: Mesh, cam: cam_mod.CameraParams,
             T, X, lam, cost = state
             U, V, Wb, bp, bl, _ = local_ba.build_grouped_blocks(
                 cam, T, X, prob._replace(T_cw=T, points=X), huber_delta)
-            eye3 = jnp.eye(3, dtype=V.dtype)
-            Vinv = jnp.linalg.inv(V + lam * eye3[None])
+            Vinv = jnp.linalg.inv(local_ba.damp_diagonal(V, lam, 3))
             T1 = jnp.einsum("mkij,mjl->mkil", Wb, Vinv,
                             precision=jax.lax.Precision.HIGHEST)
             S_local = -jnp.einsum("maij,mbkj->aibk", T1, Wb,
@@ -229,8 +234,11 @@ def distributed_bundle_adjust_grouped(mesh: Mesh, cam: cam_mod.CameraParams,
                                         precision=jax.lax.Precision.HIGHEST)
             S = jax.lax.psum(S_local, lm_axis)
             rhs = jax.lax.psum(rhs_local, lm_axis)
-            S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(
-                lam * jnp.eye(6)[None])
+            # Marquardt damping on the assembled diagonal (see
+            # local_ba.damp_diagonal; the pre-psum U is undamped)
+            diagS = S[jnp.arange(K), :, jnp.arange(K), :]
+            S = S.at[jnp.arange(K), :, jnp.arange(K), :].set(
+                local_ba.damp_diagonal(diagS, lam, 6))
             for f in range(num_fixed):
                 S = S.at[f].set(0.0).at[:, :, f, :].set(0.0)
                 S = S.at[f, jnp.arange(6), f, jnp.arange(6)].set(1.0)
@@ -246,7 +254,11 @@ def distributed_bundle_adjust_grouped(mesh: Mesh, cam: cam_mod.CameraParams,
             T_new = jax.vmap(lambda d, t: se3.compose(se3.exp(d), t))(dxi, T)
             X_new = X + dX
             c_new = total_cost(T_new, X_new)
-            accept = c_new < cost
+            # never accept a non-finite step (NaN positions fall out of the
+            # cost mask and would score 0 — see local_ba.bundle_adjust)
+            accept = ((c_new < cost) & jnp.isfinite(c_new)
+                      & jnp.all(jnp.isfinite(dxi))
+                      & jnp.all(jnp.isfinite(dX)))
             T = jnp.where(accept, T_new, T)
             X = jnp.where(accept, X_new, X)
             lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9),

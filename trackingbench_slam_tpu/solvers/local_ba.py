@@ -136,6 +136,13 @@ def build_ba_blocks(cam, T_cw, points, p: BAProblem, huber_delta: float | None):
     return U, V, Wb, bp, bl, cost
 
 
+def damp_diagonal(A, lam, n: int):
+    """Marquardt damping: A + (lam * diag(A) + eps) I, batched over leading
+    dims. Shared by the local and distributed Schur paths."""
+    d = jnp.einsum("...ii->...i", A)
+    return A + (lam * d + 1e-6)[..., None] * jnp.eye(n, dtype=A.dtype)
+
+
 def schur_solve(U, V, Wb, bp, bl, lam, num_fixed: int = 1):
     """Reduced camera system + landmark back-substitution.
 
@@ -148,15 +155,24 @@ def schur_solve(U, V, Wb, bp, bl, lam, num_fixed: int = 1):
     M = V.shape[0]
     eye3 = jnp.eye(3, dtype=V.dtype)
     eye6 = jnp.eye(6, dtype=U.dtype)
-    Vd = V + lam * eye3[None]
+    # Marquardt (diagonal-relative) damping + small absolute floor: block
+    # magnitudes here reach ~1e8 (inv_sigma2-weighted Hessians over
+    # thousands of observations), so an absolute lambda of 1e-4 is ~1e-12
+    # relative — below f32 roundoff of the Schur cancellation, which can
+    # leave S indefinite and the Cholesky NaN. Scaling the damping by each
+    # diagonal keeps it meaningful at any problem scale.
+    def damp_diag(A, n):
+        return damp_diagonal(A, lam, n)
+
+    Vd = damp_diag(V, 3)
     # batched 3x3 inverse via explicit solve (well-conditioned after damping;
-    # landmarks with no observations get V = lam*I -> dX = bl/lam = 0)
+    # landmarks with no observations get V = eps*I -> dX = bl/eps = 0)
     Vinv = jnp.linalg.inv(Vd)
     # S = blockdiag(U) - sum_m W_m Vinv_m W_m^T
     T1 = jnp.einsum("mkij,mjl->mkil", Wb, Vinv, precision=HI)  # (M,K,6,3)
     S_off = jnp.einsum("maij,mbkj->aibk", T1, Wb, precision=HI)  # (K,6,K,6)
     S = -S_off
-    S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(U + lam * eye6[None])
+    S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(damp_diag(U, 6))
     rhs = bp - jnp.einsum("mkij,mj->ki", T1, bl, precision=HI)  # (K,6)
     for f in range(num_fixed):
         # clamp pose f: identity row/col block, zero rhs
@@ -278,7 +294,11 @@ def bundle_adjust_grouped(cam: cam_mod.CameraParams, p: GroupedBAProblem,
         T_new = jax.vmap(lambda d, T: se3.compose(se3.exp(d), T))(dxi, T_cw)
         X_new = points + dX
         c_new = total_cost(T_new, X_new)
-        accept = c_new < cost
+        # a non-finite step must NEVER be accepted: NaN positions fall out
+        # of the behind-camera cost mask, so a NaN step scores cost 0 and
+        # would silently poison the whole map
+        accept = ((c_new < cost) & jnp.isfinite(c_new)
+                  & jnp.all(jnp.isfinite(dxi)) & jnp.all(jnp.isfinite(dX)))
         T_cw = jnp.where(accept, T_new, T_cw)
         points = jnp.where(accept, X_new, points)
         lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9),
@@ -316,7 +336,9 @@ def bundle_adjust(cam: cam_mod.CameraParams, problem: BAProblem,
         T_new = jax.vmap(lambda d, T: se3.compose(se3.exp(d), T))(dxi, T_cw)
         X_new = points + dX
         c_new = total_cost(T_new, X_new)
-        accept = c_new < cost
+        # never accept a non-finite step (see bundle_adjust_grouped)
+        accept = ((c_new < cost) & jnp.isfinite(c_new)
+                  & jnp.all(jnp.isfinite(dxi)) & jnp.all(jnp.isfinite(dX)))
         T_cw = jnp.where(accept, T_new, T_cw)
         points = jnp.where(accept, X_new, points)
         lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9),
