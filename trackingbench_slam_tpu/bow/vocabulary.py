@@ -219,19 +219,32 @@ def score_kl(v1, v2):
 
 def save_vocabulary(voc: Vocabulary, path: str) -> None:
     """Persist the tree (DBoW2 TemplatedVocabulary::save equivalent,
-    TemplatedVocabulary.h:1437-1509 — npz instead of yaml/text)."""
+    TemplatedVocabulary.h:1437-1509 — npz instead of yaml/text). Records the
+    content hash of the active BRIEF pattern: a vocabulary is only usable
+    against descriptors extracted with the same pattern."""
+    from trackingbench_slam_tpu.ops.orb import pattern_id
     np.savez_compressed(
         path,
         branching=voc.branching, depth=voc.depth, levels_up=voc.levels_up,
         word_weights=np.asarray(voc.word_weights),
+        descriptor_pattern_id=np.asarray(pattern_id()),
         **{f"level_{i}": np.asarray(t) for i, t in enumerate(voc.levels)})
 
 
 def load_vocabulary(path: str) -> Vocabulary:
     """TemplatedVocabulary::load equivalent (the reference loads the
     ORB-SLAM2 ORBvoc.txt, TemplatedVocabulary.h:1338-1430; ours round-trips
-    its own format)."""
+    its own format). Refuses a vocabulary trained under a different BRIEF
+    pattern (cross-pattern Hamming distances are meaningless)."""
+    from trackingbench_slam_tpu.ops.orb import pattern_id
     z = np.load(path)
+    if "descriptor_pattern_id" in z:
+        saved = str(z["descriptor_pattern_id"])
+        if saved != pattern_id():
+            raise ValueError(
+                f"vocabulary {path} was trained with BRIEF pattern {saved}, "
+                f"active pattern is {pattern_id()} — retrain the vocabulary "
+                "or restore the matching ops/orb_pattern_learned.py")
     depth = int(z["depth"])
     return Vocabulary(
         levels=tuple(jnp.asarray(z[f"level_{i}"]) for i in range(depth)),

@@ -58,8 +58,18 @@ class DirectVO:
         self.T_cw = jnp.eye(4, dtype=jnp.float32)
         self.trajectory: list = []
         self.frame_id = 0
-        self.num_tracked = 0
-        self.num_promoted = 0
+        # device-side counters: reading them is the ONLY host sync (a
+        # property int()); the tracking loop itself never blocks on them
+        self._num_tracked_dev = jnp.asarray(0, jnp.int32)
+        self._num_promoted_dev = jnp.asarray(0, jnp.int32)
+
+    @property
+    def num_tracked(self) -> int:
+        return int(self._num_tracked_dev)
+
+    @property
+    def num_promoted(self) -> int:
+        return int(self._num_promoted_dev)
 
     # ------------------------------------------------------------ keyframe
 
@@ -143,7 +153,7 @@ class DirectVO:
                            jnp.sum(jnp.where(has_lm, depth, 0.0))
                            / jnp.maximum(n_lm, 1),
                            jnp.asarray(self._last_mean_depth, jnp.float32))
-        self._last_mean_depth = float(mean_d)
+        self._last_mean_depth = mean_d  # stays on device (no host sync)
         min_d = jnp.maximum(0.05 * mean_d, 0.2)
         self.seed_batches.append(dict(
             seeds=df.SeedState.init(
@@ -161,12 +171,15 @@ class DirectVO:
         seed from its ORIGIN keyframe into the current frame with its belief
         as the prior, triangulate, Bayesian-update, promote/retire (SVO
         updateSeeds). Converged seeds become landmarks of the CURRENT
-        reference keyframe (scattered into its free feature slots)."""
-        live = []
+        reference keyframe (scattered into its free feature slots).
+
+        Fully device-side: promotion/retirement are unconditional masked
+        scatters (a zero-row scatter is a no-op), so the steady-state loop
+        issues NO blocking device->host fetches — the r2 version paid up to
+        ~6 round trips per tracked frame on `bool(jnp.any(...))` gates,
+        which dominates frame time on a ~25 ms-round-trip transport."""
         for b in self.seed_batches:
             s = b["seeds"]
-            if not bool(jnp.any(s.valid)):
-                continue
             T_ref_w = b["T_cw"]
             T_cur_ref = se3.compose(self.T_cw, se3.inverse(T_ref_w))
             f_ref = b["bearing"]  # (N, 3) unit rays in the origin camera
@@ -196,18 +209,16 @@ class DirectVO:
             s = df.update_seeds(s, 1.0 / jnp.maximum(z_obs, 1e-6), tau2,
                                 obs_ok)
             conv, div = df.seed_status(s)
-            if bool(jnp.any(conv)):
-                z_ray = 1.0 / jnp.maximum(s.mu, 1e-6)
-                p_w = se3.transform_points(se3.inverse(T_ref_w),
-                                           f_ref * z_ray[:, None])
-                self._promote(conv, p_w)
+            z_ray = 1.0 / jnp.maximum(s.mu, 1e-6)
+            p_w = se3.transform_points(se3.inverse(T_ref_w),
+                                       f_ref * z_ray[:, None])
+            self._promote(conv, p_w)
             b["seeds"] = s._replace(valid=s.valid & ~(conv | div))
-            live.append(b)
-        self.seed_batches = live
 
     def _promote(self, conv: jax.Array, pos_w: jax.Array):
         """Insert converged seeds as landmarks of the current reference
-        keyframe, at their projected pixels, into free feature slots."""
+        keyframe, at their projected pixels, into free feature slots.
+        Unconditional masked scatter — no host gate."""
         from trackingbench_slam_tpu.models.map import free_slot_destinations
         from trackingbench_slam_tpu.ops import packing
         kf = self.kf
@@ -215,9 +226,6 @@ class DirectVO:
         px = cam_mod.world2cam(self.cam, p_c)
         ok = (conv & (p_c[:, 2] > 0.05)
               & cam_mod.is_in_frame(self.cam, px, boundary=8.0))
-        n_add = int(jnp.sum(ok))
-        if n_add == 0:
-            return
         dest = free_slot_destinations(~kf.valid, ok)
         (kp_xy, valid, has_lm, depth, kf_pos_w) = packing.scatter_rows_set(
             [kf.kp_xy, kf.valid, self.kf_has_lm, self.kf_depth,
@@ -229,7 +237,8 @@ class DirectVO:
         self.kf_has_lm = has_lm
         self.kf_depth = depth
         self.kf_pos_w = kf_pos_w
-        self.num_promoted += n_add
+        self._num_promoted_dev = self._num_promoted_dev + jnp.sum(
+            ok, dtype=jnp.int32)
 
     # -------------------------------------------------------------- track
 
@@ -271,7 +280,7 @@ class DirectVO:
             self.cam, T_cw, self.kf_pos_w, fa.px_cur, inv_s2,
             fa.ok & self.kf_has_lm, cfg.solver)
         self.T_cw = opt.T_cw
-        self.num_tracked = int(opt.num_inliers)
+        self._num_tracked_dev = opt.num_inliers
 
         # 4. depth-filter round on the live seeds
         self._update_seeds(cur)

@@ -177,8 +177,10 @@ def clahe(img: jax.Array, clip: float = 3.0, grid: int = 8,
     excess = jnp.sum(jnp.maximum(hist - limit, 0.0), axis=1, keepdims=True)
     hist = jnp.minimum(hist, limit) + excess / bins
     cdf = jnp.cumsum(hist, axis=1)
-    # LUT: map intensity -> equalized value in [0, 255]
-    lut = (cdf - cdf[:, :1]) / jnp.maximum(npx - cdf[:, :1], 1.0) * 255.0
+    # LUT: map intensity -> equalized value in [0, 255]. Plain cdf/npx
+    # scaling, matching cv::CLAHE (an earlier revision subtracted the
+    # zero-bin count, which deviated for tiles with many dark pixels)
+    lut = cdf / npx * 255.0
     lut = jnp.clip(lut, 0.0, 255.0)  # (grid*grid, bins)
 
     # bilinear interpolation between the 4 surrounding tile centers

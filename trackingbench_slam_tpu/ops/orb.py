@@ -65,6 +65,19 @@ def brief_pattern() -> np.ndarray:
     return np.stack(pts, axis=0)  # (256, 2, 2) as (bit, which_point, xy)
 
 
+@functools.lru_cache(maxsize=1)
+def pattern_id() -> str:
+    """Stable content hash of the active BRIEF pattern table.
+
+    Descriptors are only comparable when extracted with the SAME pattern —
+    any artifact that persists descriptors (map checkpoints, trained BoW
+    vocabularies) records this id so a later load against a different
+    pattern (e.g. the Gaussian fallback vs the learned table) fails loudly
+    instead of producing meaningless Hamming distances."""
+    import hashlib
+    return hashlib.sha256(brief_pattern().tobytes()).hexdigest()[:16]
+
+
 def _circle_umax_mask() -> np.ndarray:
     """(31, 31) float mask of the radius-15 circular patch, built row-wise the
     same way the reference builds u_max (ORBextractor.cpp:930-945 semantics)."""

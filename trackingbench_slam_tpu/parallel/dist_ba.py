@@ -52,17 +52,24 @@ class ShardedBAProblem(NamedTuple):
     obs_px: jax.Array      # (D*O_loc, 2)
     obs_inv_sigma2: jax.Array
     obs_valid: jax.Array
+    obs_ur: jax.Array      # (D*O_loc,) right-u; -1 = mono row
 
 
 def partition_problem(p: local_ba.BAProblem, num_shards: int) -> ShardedBAProblem:
     """Host-side partitioner: block-assign landmarks to shards, co-locate and
-    re-index their observations, pad every shard to the max count."""
+    re-index their observations, pad every shard to the max count.
+
+    Vectorized: a stable argsort on the shard id groups observations, and a
+    per-shard running index places each row — no Python-per-observation loop
+    (the r2 version looped over O; at the live 262k-observation scale that
+    was seconds of host time per solve)."""
     M = p.points.shape[0]
     O = p.obs_px.shape[0]
     m_loc = -(-M // num_shards)
     obs_lm = np.asarray(p.obs_lm)
     obs_shard = obs_lm // m_loc
-    o_loc = max(int(np.bincount(obs_shard, minlength=num_shards).max()), 1)
+    counts = np.bincount(obs_shard, minlength=num_shards)
+    o_loc = max(int(counts.max()), 1)
     pts = np.zeros((num_shards * m_loc, 3), np.float32)
     pts[:M] = np.asarray(p.points)
     okf = np.zeros((num_shards, o_loc), np.int32)
@@ -70,20 +77,20 @@ def partition_problem(p: local_ba.BAProblem, num_shards: int) -> ShardedBAProble
     opx = np.zeros((num_shards, o_loc, 2), np.float32)
     ois = np.zeros((num_shards, o_loc), np.float32)
     ova = np.zeros((num_shards, o_loc), bool)
-    fill = np.zeros(num_shards, np.int32)
-    obs_kf = np.asarray(p.obs_kf)
-    obs_px = np.asarray(p.obs_px)
-    obs_is = np.asarray(p.obs_inv_sigma2)
-    obs_va = np.asarray(p.obs_valid)
-    for o in range(O):
-        d = obs_shard[o]
-        i = fill[d]
-        okf[d, i] = obs_kf[o]
-        olm[d, i] = obs_lm[o] - d * m_loc
-        opx[d, i] = obs_px[o]
-        ois[d, i] = obs_is[o]
-        ova[d, i] = obs_va[o]
-        fill[d] += 1
+    our = np.full((num_shards, o_loc), -1.0, np.float32)
+    order = np.argsort(obs_shard, kind="stable")        # group by shard
+    srt = obs_shard[order]
+    # position within the shard = rank within its group
+    starts = np.zeros(num_shards, np.int64)
+    starts[1:] = np.cumsum(counts)[:-1]
+    pos = np.arange(O, dtype=np.int64) - starts[srt]
+    okf[srt, pos] = np.asarray(p.obs_kf)[order]
+    olm[srt, pos] = obs_lm[order] - srt * m_loc
+    opx[srt, pos] = np.asarray(p.obs_px)[order]
+    ois[srt, pos] = np.asarray(p.obs_inv_sigma2)[order]
+    ova[srt, pos] = np.asarray(p.obs_valid)[order]
+    if p.obs_ur is not None:
+        our[srt, pos] = np.asarray(p.obs_ur)[order]
     return ShardedBAProblem(
         T_cw=p.T_cw,
         points=jnp.asarray(pts),
@@ -92,6 +99,7 @@ def partition_problem(p: local_ba.BAProblem, num_shards: int) -> ShardedBAProble
         obs_px=jnp.asarray(opx.reshape(-1, 2)),
         obs_inv_sigma2=jnp.asarray(ois.reshape(-1)),
         obs_valid=jnp.asarray(ova.reshape(-1)),
+        obs_ur=jnp.asarray(our.reshape(-1)),
     )
 
 
@@ -106,10 +114,12 @@ def distributed_bundle_adjust(mesh: Mesh, cam: cam_mod.CameraParams,
     lm_axis = "lm"
     K = sp.T_cw.shape[0]
 
-    def shard_fn(T_cw, points, obs_kf, obs_lm, obs_px, obs_is, obs_va):
+    def shard_fn(T_cw, points, obs_kf, obs_lm, obs_px, obs_is, obs_va,
+                 obs_ur):
         prob = local_ba.BAProblem(
             T_cw=T_cw, points=points, obs_kf=obs_kf, obs_lm=obs_lm,
-            obs_px=obs_px, obs_inv_sigma2=obs_is, obs_valid=obs_va)
+            obs_px=obs_px, obs_inv_sigma2=obs_is, obs_valid=obs_va,
+            obs_ur=obs_ur)
 
         def total_cost(T, X):
             r, pc, _, _, row_ok = local_ba._obs_residuals(cam, T, X, prob)
@@ -157,10 +167,15 @@ def distributed_bundle_adjust(mesh: Mesh, cam: cam_mod.CameraParams,
             X_new = X + dX
             c_new = total_cost(T_new, X_new)
             # never accept a non-finite step (NaN positions fall out of the
-            # cost mask and would score 0 — see local_ba.bundle_adjust)
+            # cost mask and would score 0 — see local_ba.bundle_adjust).
+            # Shard-local dX finiteness MUST be all-reduced: a NaN confined
+            # to one shard does not surface in the psum'd cost, so without
+            # the collective, shards would disagree on `accept` and the
+            # replicated pose/lambda state would silently diverge.
+            bad_local = jnp.any(~jnp.isfinite(dX)).astype(jnp.int32)
+            bad = jax.lax.psum(bad_local, lm_axis)
             accept = ((c_new < cost) & jnp.isfinite(c_new)
-                      & jnp.all(jnp.isfinite(dxi))
-                      & jnp.all(jnp.isfinite(dX)))
+                      & jnp.all(jnp.isfinite(dxi)) & (bad == 0))
             T = jnp.where(accept, T_new, T)
             X = jnp.where(accept, X_new, X)
             lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9),
@@ -174,15 +189,18 @@ def distributed_bundle_adjust(mesh: Mesh, cam: cam_mod.CameraParams,
              total_cost(T_cw, points)))
         return jax.vmap(se3.normalize)(T), X
 
+    obs_ur = sp.obs_ur
+    if obs_ur is None:  # mono problem: explicit all-mono stereo column
+        obs_ur = jnp.full(sp.obs_valid.shape, -1.0, jnp.float32)
     fn = jax.jit(shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(), P(lm_axis), P(lm_axis), P(lm_axis), P(lm_axis),
-                  P(lm_axis), P(lm_axis)),
+                  P(lm_axis), P(lm_axis), P(lm_axis)),
         out_specs=(P(), P(lm_axis)),
         check_vma=False,
     ))
     return fn(sp.T_cw, sp.points, sp.obs_kf, sp.obs_lm, sp.obs_px,
-              sp.obs_inv_sigma2, sp.obs_valid)
+              sp.obs_inv_sigma2, sp.obs_valid, obs_ur)
 
 
 def distributed_bundle_adjust_grouped(mesh: Mesh, cam: cam_mod.CameraParams,
@@ -255,10 +273,14 @@ def distributed_bundle_adjust_grouped(mesh: Mesh, cam: cam_mod.CameraParams,
             X_new = X + dX
             c_new = total_cost(T_new, X_new)
             # never accept a non-finite step (NaN positions fall out of the
-            # cost mask and would score 0 — see local_ba.bundle_adjust)
+            # cost mask and would score 0 — see local_ba.bundle_adjust).
+            # dX finiteness is all-reduced: shard-local NaNs don't show in
+            # the psum'd cost, and a shard-local gate would let `accept`
+            # diverge across devices (see the flat path above).
+            bad_local = jnp.any(~jnp.isfinite(dX)).astype(jnp.int32)
+            bad = jax.lax.psum(bad_local, lm_axis)
             accept = ((c_new < cost) & jnp.isfinite(c_new)
-                      & jnp.all(jnp.isfinite(dxi))
-                      & jnp.all(jnp.isfinite(dX)))
+                      & jnp.all(jnp.isfinite(dxi)) & (bad == 0))
             T = jnp.where(accept, T_new, T)
             X = jnp.where(accept, X_new, X)
             lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9),

@@ -26,11 +26,15 @@ def save_checkpoint(path: str, state: Any, cfg: PipelineConfig,
                     trajectory=None, step: int = 0) -> None:
     """Write state pytree + config. Uses orbax when importable, npz otherwise
     (both layouts carry the same data; load_checkpoint reads either)."""
+    from trackingbench_slam_tpu.ops.orb import pattern_id
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "config.json"), "w") as f:
         f.write(cfg.to_json())
+    # descriptors inside the map/keyframe snapshots are only meaningful
+    # against the pattern that produced them — record its content hash
     meta = {"step": int(step),
-            "trajectory_len": 0 if trajectory is None else len(trajectory)}
+            "trajectory_len": 0 if trajectory is None else len(trajectory),
+            "descriptor_pattern_id": pattern_id()}
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f)
     if trajectory is not None and len(trajectory):
@@ -49,9 +53,17 @@ def save_checkpoint(path: str, state: Any, cfg: PipelineConfig,
 def load_checkpoint(path: str, state_template: Any):
     """Restore a state pytree saved by save_checkpoint. state_template
     provides the treedef (an empty state of the same config)."""
+    from trackingbench_slam_tpu.ops.orb import pattern_id
     cfg = PipelineConfig.from_json(
         open(os.path.join(path, "config.json")).read())
     meta = json.load(open(os.path.join(path, "meta.json")))
+    saved_pat = meta.get("descriptor_pattern_id")
+    if saved_pat is not None and saved_pat != pattern_id():
+        raise ValueError(
+            f"checkpoint at {path} holds descriptors extracted with BRIEF "
+            f"pattern {saved_pat}, but the active pattern is {pattern_id()} "
+            "— Hamming distances across patterns are meaningless; re-track "
+            "or restore the matching ops/orb_pattern_learned.py")
     traj_file = os.path.join(path, "trajectory.npy")
     trajectory = np.load(traj_file) if os.path.exists(traj_file) else None
     orbax_dir = os.path.join(path, "state")
