@@ -1,0 +1,82 @@
+"""Live pipeline on a device mesh: StereoVO with cfg.mesh.lm=8 must run the
+distributed grouped BA (parallel/dist_ba.py) inside local_ba_step and produce
+a trajectory comparable to the single-device solve — VERDICT r2 missing #1
+(PipelineConfig.mesh had zero consumers)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import pytest
+
+from trackingbench_slam_tpu.utils.config import (
+    CameraConfig, ExtractorConfig, MapConfig, MeshConfig, PipelineConfig,
+    PyramidConfig, SolverConfig)
+
+
+def _run(cfg, frames):
+    from trackingbench_slam_tpu.models.vo import StereoVO
+    vo = StereoVO(cfg)
+    for L, R in frames:
+        vo.track(L, R)
+    return vo
+
+
+@pytest.fixture(scope="module")
+def corridor_frames():
+    from trackingbench_slam_tpu.utils.synthetic import (
+        CorridorScene, forward_yaw_trajectory)
+    cam = CameraConfig(width=384, height=288, fx=300, fy=300, cx=192,
+                       cy=144, bf=300 * 0.25)
+    scene = CorridorScene(cam)
+    gt = forward_yaw_trajectory(16, step=0.08, yaw_rate=0.01)
+    frames = []
+    for i, T in enumerate(gt):
+        if i == 0 or (i + 1) % 5 == 0:
+            frames.append(scene.stereo_pair(T, 0.25))
+        else:
+            frames.append((scene.render(T), None))
+    return cam, frames, gt
+
+
+def _cfg(cam, lm):
+    return PipelineConfig(
+        camera=cam,
+        pyramid=PyramidConfig(num_levels=3, scale_factor=0.8),
+        extractor=ExtractorConfig(num_features=384, min_threshold=10,
+                                  cell_size=20),
+        map=MapConfig(max_keyframes=8, max_points=2048),
+        solver=SolverConfig(max_landmarks=1024, ba_iters=6),
+        mesh=MeshConfig(lm=lm),
+        keyframe_every=5,
+        local_ba_every=1,
+    )
+
+
+def test_mesh_lm8_matches_single_device(corridor_frames):
+    cam, frames, gt = corridor_frames
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    vo1 = _run(_cfg(cam, 1), frames)
+    vo8 = _run(_cfg(cam, 8), frames)
+    P1 = vo1.poses()
+    P8 = vo8.poses()
+    assert np.all(np.isfinite(P8))
+    # same pipeline, same data: the sharded solver computes the same normal
+    # equations (one psum), so trajectories agree to solver tolerance
+    d = np.linalg.norm(P1[:, :3, 3] - P8[:, :3, 3], axis=1)
+    assert d.max() < 5e-3, d.max()
+    # and both track the ground truth
+    from trackingbench_slam_tpu.utils import metrics
+    ate8 = metrics.ate_rmse(P8, gt, align=True)
+    assert ate8 < 0.02, ate8
+
+
+def test_mesh_config_requires_divisible_landmarks(corridor_frames):
+    cam, frames, _ = corridor_frames
+    cfg = dataclasses.replace(_cfg(cam, 8),
+                              solver=SolverConfig(max_landmarks=1001))
+    from trackingbench_slam_tpu.models.vo import StereoVO
+    vo = StereoVO(cfg)
+    with pytest.raises(AssertionError):
+        for L, R in frames[:6]:
+            vo.track(L, R)

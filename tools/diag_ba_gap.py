@@ -43,6 +43,15 @@ def main():
     p.add_argument("--bench-scale", action="store_true",
                    help="use the bench.py operating point (1226x370, 2000 "
                         "features, 16 KFs) instead of the small test scene")
+    p.add_argument("--skip-off", action="store_true",
+                   help="only run the BA-on config")
+    p.add_argument("--no-ur", action="store_true",
+                   help="drop the stereo u_R rows from the BA window")
+    p.add_argument("--gt-obs", action="store_true",
+                   help="before each BA solve, overwrite the ring "
+                        "observations with GT-pose projections of the "
+                        "current landmark estimates — isolates solver "
+                        "correctness from observation (LK drift) bias")
     args = p.parse_args()
 
     import dataclasses
@@ -98,8 +107,20 @@ def main():
         else:
             frames.append((scene.render(T), None))
 
+    if args.no_ur:
+        import trackingbench_slam_tpu.models.local_mapping as lm_mod0
+        _orig_build = lm_mod0.build_window_problem_grouped
+
+        def _build_no_ur(*a, **kw):
+            prob, order, lm_idx = _orig_build(*a, **kw)
+            import jax.numpy as jnpp
+            prob = prob._replace(obs_ur=jnpp.full_like(prob.obs_ur, -1.0))
+            return prob, order, lm_idx
+
+        lm_mod0.build_window_problem_grouped = _build_no_ur
+
     results = {}
-    for ba in (0, 2):
+    for ba in ((2,) if args.skip_off else (0, 2)):
         cfg = PipelineConfig(local_ba_every=ba, **base)
         vo = StereoVO(cfg)
         orig = local_ba_step
@@ -108,7 +129,110 @@ def main():
             # wrap local_ba_step to measure before/after rel-kf error
             import trackingbench_slam_tpu.models.local_mapping as lm_mod
 
+            def doctor_obs(state, cam_):
+                """Overwrite ring kp_xy/kp_ur with GT projections of the
+                current landmark estimates (diagnostic only)."""
+                import jax.numpy as jnpp
+                kfs = state.kfs
+                m = state.map
+                fids = np.asarray(kfs.frame_id)
+                kvalid = np.asarray(kfs.valid)
+                kp_xy = np.asarray(kfs.kp_xy).copy()
+                kp_ur = np.asarray(kfs.kp_ur).copy()
+                midx = np.asarray(kfs.map_idx)
+                kpv = np.asarray(kfs.kp_valid)
+                pos = np.asarray(m.pos)
+                mval = np.asarray(m.valid)
+                for s in range(kp_xy.shape[0]):
+                    if not kvalid[s]:
+                        continue
+                    ti = max(int(fids[s]) - 1, 0)
+                    if ti >= len(gt):
+                        continue
+                    T = gt[ti]
+                    sel = (midx[s] >= 0) & kpv[s]
+                    lm = np.clip(midx[s], 0, pos.shape[0] - 1)
+                    sel &= mval[lm]
+                    pc = pos[lm] @ T[:3, :3].T + T[:3, 3]
+                    z = np.maximum(pc[:, 2], 1e-3)
+                    u = cam_.fx * pc[:, 0] / z + cam_.cx
+                    v = cam_.fy * pc[:, 1] / z + cam_.cy
+                    sel &= pc[:, 2] > 0.1
+                    kp_xy[s, sel, 0] = u[sel]
+                    kp_xy[s, sel, 1] = v[sel]
+                    had_ur = kp_ur[s] >= 0
+                    ur = u - cam_.bf / z
+                    kp_ur[s, sel & had_ur] = ur[sel & had_ur]
+                kfs = kfs._replace(kp_xy=jnpp.asarray(kp_xy),
+                                   kp_ur=jnpp.asarray(kp_ur))
+                return state._replace(kfs=kfs)
+
+            def obs_quality(state, cam_):
+                """Mean |reproj residual| per keyframe, with landmarks
+                triangulated through GT poses (isolates observation error
+                from pose error)."""
+                kfs = state.kfs
+                m = state.map
+                fids = np.asarray(kfs.frame_id)
+                kvalid = np.asarray(kfs.valid)
+                midx = np.asarray(kfs.map_idx)
+                kpv = np.asarray(kfs.kp_valid)
+                kp = np.asarray(kfs.kp_xy)
+                KF, N = midx.shape
+                Mcap = m.capacity
+                # collect obs per landmark: (kf_traj_idx, px)
+                per_lm = {}
+                for s in range(KF):
+                    if not kvalid[s]:
+                        continue
+                    ti = max(int(fids[s]) - 1, 0)
+                    if ti >= len(gt):
+                        continue
+                    sel = np.where((midx[s] >= 0) & kpv[s])[0]
+                    for f_ in sel:
+                        per_lm.setdefault(int(midx[s, f_]), []).append(
+                            (s, ti, kp[s, f_]))
+                errs_by_slot = {s: [] for s in range(KF)}
+                for lm, obs in per_lm.items():
+                    if len(obs) < 2:
+                        continue
+                    # DLT through GT poses
+                    A = []
+                    for s, ti, px in obs:
+                        T = gt[ti]
+                        P = np.zeros((3, 4))
+                        P[:3, :3] = T[:3, :3]
+                        P[:3, 3] = T[:3, 3]
+                        Km = np.array([[cam_.fx, 0, cam_.cx],
+                                       [0, cam_.fy, cam_.cy], [0, 0, 1.0]])
+                        P = Km @ P
+                        A.append(px[0] * P[2] - P[0])
+                        A.append(px[1] * P[2] - P[1])
+                    A = np.stack(A)
+                    _, _, Vt = np.linalg.svd(A)
+                    X = Vt[-1]
+                    X = X[:3] / X[3]
+                    for s, ti, px in obs:
+                        T = gt[ti]
+                        pc = T[:3, :3] @ X + T[:3, 3]
+                        if pc[2] < 0.1:
+                            continue
+                        u = cam_.fx * pc[0] / pc[2] + cam_.cx
+                        v = cam_.fy * pc[1] / pc[2] + cam_.cy
+                        errs_by_slot[s].append(np.hypot(px[0] - u,
+                                                        px[1] - v))
+                parts = []
+                order = np.argsort(np.where(kvalid, fids, 10 ** 9))
+                for s in order:
+                    if kvalid[s] and errs_by_slot[s]:
+                        parts.append(f"{np.mean(errs_by_slot[s]):.3f}")
+                print(f"  obs |resid| px by kf (oldest first): "
+                      f"{' '.join(parts)}")
+
             def wrapped(state, cam_, cfg_, num_fixed=1):
+                obs_quality(state, cam_)
+                if args.gt_obs:
+                    state = doctor_obs(state, cam_)
                 fids = np.asarray(state.kfs.frame_id)
                 valid = np.asarray(state.kfs.valid)
                 before = rel_kf_err(np.asarray(state.kfs.T_cw), fids,

@@ -132,10 +132,42 @@ def local_ba_step(state, cam: cam_mod.CameraParams, cfg: PipelineConfig,
     KF = kfs.T_cw.shape[0]
     problem, order, lm_idx = build_window_problem_grouped(
         m, kfs, cfg.pyramid.scale_factor, cfg.solver.max_landmarks)
-    T_opt, X_opt = bundle_adjust_grouped(
-        cam, problem, iters=cfg.solver.ba_iters,
-        huber_delta=cfg.solver.huber_delta,
-        init_lambda=cfg.solver.init_lambda, num_fixed=num_fixed)
+    # ORB-SLAM local-BA window semantics: only the newest
+    # `solver.window_keyframes` poses optimize; every older ring pose is a
+    # FIXED vertex whose observations still constrain the landmarks
+    # (LocalBA.cpp's g2o role; ORB-SLAM's lFixedCameras). Without this the
+    # whole ring kept re-optimizing against long-drifted LK observations —
+    # measured on the bench corridor, full-ring BA made the keyframe ATE
+    # WORSE than motion-only tracking (0.376 vs 0.299 cm) with the damage
+    # concentrated in the oldest poses; see tools/diag_ba_gap.py.
+    n_live = jnp.sum(kfs.valid)
+    d = jnp.arange(KF, dtype=jnp.int32)
+    fixed_mask = ((d < jnp.maximum(n_live - cfg.solver.window_keyframes,
+                                   num_fixed))
+                  | (d >= n_live))
+    fixed_mask = fixed_mask.at[:num_fixed].set(True)
+    if cfg.mesh.lm > 1:
+        # landmark-sharded solve over the 'lm' mesh axis (SURVEY §7.8):
+        # the grouped (L, O) layout shards with no partitioner — equal row
+        # blocks of landmarks travel WITH their observations; the only
+        # collective per LM iteration is one psum of the reduced (6K, 6K)
+        # camera system (parallel/dist_ba.py).
+        from trackingbench_slam_tpu.parallel import dist_ba
+        from trackingbench_slam_tpu.parallel import mesh as mesh_mod
+        assert cfg.solver.max_landmarks % cfg.mesh.lm == 0, (
+            "solver.max_landmarks must divide evenly over mesh.lm shards")
+        dev_mesh = mesh_mod.make_mesh(lm=cfg.mesh.lm, dp=cfg.mesh.dp)
+        T_opt, X_opt = dist_ba.distributed_bundle_adjust_grouped(
+            dev_mesh, cam, problem, iters=cfg.solver.ba_iters,
+            huber_delta=cfg.solver.huber_delta,
+            init_lambda=cfg.solver.init_lambda, num_fixed=num_fixed,
+            fixed_mask=fixed_mask)
+    else:
+        T_opt, X_opt = bundle_adjust_grouped(
+            cam, problem, iters=cfg.solver.ba_iters,
+            huber_delta=cfg.solver.huber_delta,
+            init_lambda=cfg.solver.init_lambda, num_fixed=num_fixed,
+            fixed_mask=fixed_mask)
 
     ord_valid = kfs.valid[order]
     T_new = jnp.where(ord_valid[:, None, None], T_opt, problem.T_cw)

@@ -54,6 +54,18 @@ class MapState(NamedTuple):
     obs_kf: jax.Array     # (M, K) observing keyframe slots, -1 empty
     obs_feat: jax.Array   # (M, K) feature index within that keyframe
     obs_count: jax.Array  # (M,)
+    # Anchor-patch atlas: one ATLAS_CELL x ATLAS_CELL image patch per
+    # landmark slot, captured around the creating observation, packed into
+    # ONE big image so the Pallas LK kernel can align current-frame
+    # features against their creation-time appearance (the role of the
+    # reference's warped reference patch in FindMatchDirect,
+    # matcher.cpp:1552-1602). Keyframe observations re-aligned against
+    # these anchors carry no accumulated frame-to-frame LK drift — without
+    # this, windowed BA consolidates the drift into the map (measured:
+    # full-ring BA on drifted obs made keyframe ATE worse than motion-only
+    # tracking; with consistent obs the solver is exact to < 1e-5,
+    # tools/diag_ba_gap.py --gt-obs).
+    anchor_atlas: jax.Array  # (G*CELL, G*CELL) f32, G = ceil(sqrt(M))
 
     @property
     def capacity(self) -> int:
@@ -61,6 +73,66 @@ class MapState(NamedTuple):
 
     def num_valid(self) -> jax.Array:
         return jnp.sum(self.valid)
+
+    @property
+    def atlas_grid(self) -> int:
+        return self.anchor_atlas.shape[0] // ATLAS_CELL
+
+
+ATLAS_CELL = 16  # px per atlas cell; anchor alignment uses half <= 5
+
+
+def atlas_grid_for(capacity: int) -> int:
+    g = 1
+    while g * g < capacity:
+        g += 1
+    return g
+
+
+def atlas_cell_centers(slots: jax.Array, grid: int) -> jax.Array:
+    """(B,) landmark slots -> (B, 2) atlas (x, y) cell-center positions."""
+    row = slots // grid
+    col = slots % grid
+    c = ATLAS_CELL
+    return jnp.stack([col * c + c // 2, row * c + c // 2],
+                     axis=-1).astype(jnp.float32)
+
+
+def write_anchor_patches(m: MapState, img: jax.Array, kp_xy: jax.Array,
+                         slots: jax.Array, want: jax.Array) -> MapState:
+    """Capture ATLAS_CELL^2 patches around kp_xy (bilinear, so the cell
+    center lands EXACTLY on the feature position) and scatter them into the
+    atlas cells of `slots`. Call right after add_points with its returned
+    slots; want masks rows (dropped rows scatter nowhere)."""
+    c = ATLAS_CELL
+    g = m.atlas_grid
+    h, w = img.shape
+    offs = jnp.arange(c, dtype=img.dtype) - (c // 2)
+    oy, ox = jnp.meshgrid(offs, offs, indexing="ij")
+    sx = kp_xy[:, 0, None, None] + ox[None]
+    sy = kp_xy[:, 1, None, None] + oy[None]
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 2)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 2)
+    v00 = img[y0i, x0i]
+    v01 = img[y0i, x0i + 1]
+    v10 = img[y0i + 1, x0i]
+    v11 = img[y0i + 1, x0i + 1]
+    patches = ((1 - fy) * ((1 - fx) * v00 + fx * v01)
+               + fy * ((1 - fx) * v10 + fx * v11))   # (B, c, c)
+    A = g * c
+    slot_ok = want & (slots >= 0) & (slots < m.capacity)
+    s = jnp.where(slot_ok, slots, m.capacity)
+    r0 = (s // g) * c
+    c0 = (s % g) * c
+    rows = r0[:, None, None] + jnp.arange(c)[None, :, None]
+    cols = c0[:, None, None] + jnp.arange(c)[None, None, :]
+    rows = jnp.where(slot_ok[:, None, None], rows, A)  # drop out of range
+    atlas = m.anchor_atlas.at[rows, cols].set(patches, mode="drop")
+    return m._replace(anchor_atlas=atlas)
 
 
 class KeyframeStore(NamedTuple):
@@ -88,7 +160,9 @@ class KeyframeStore(NamedTuple):
 
 def empty_map(capacity: int, max_obs: int, dtype=jnp.float32) -> MapState:
     M, K = capacity, max_obs
+    A = atlas_grid_for(M) * ATLAS_CELL
     return MapState(
+        anchor_atlas=jnp.zeros((A, A), dtype),
         pos=jnp.zeros((M, 3), dtype),
         desc=jnp.zeros((M, 8), jnp.uint32),
         normal=jnp.zeros((M, 3), dtype),

@@ -158,6 +158,26 @@ def keyframe_step(state: VOState, img_right: jax.Array,
     left<->right LK for stereo depth (LocalBA::AddMapPointsByStereo,
     LocalBA.cpp:46-68), new landmarks into the map, keyframe snapshot."""
     f = state.prev  # already tracked + pose-optimized this frame
+    # --- anchored observation refinement (FindMatchDirect role,
+    # matcher.cpp:1498-1620): re-align every tracked landmark feature
+    # against its creation-time anchor patch, so the position recorded in
+    # the keyframe ring (the BA observation) carries no accumulated
+    # frame-to-frame LK drift. Tracking keeps using fast frame-to-frame LK;
+    # the drift resets here at every keyframe.
+    m_pre = state.map
+    M0 = m_pre.capacity
+    mp_pre = jnp.clip(f.map_idx, 0, M0 - 1)
+    has_anchor = (f.map_idx >= 0) & f.valid & m_pre.valid[mp_pre]
+    from trackingbench_slam_tpu.ops.align import anchored_align
+    centers = map_mod.atlas_cell_centers(mp_pre, m_pre.atlas_grid)
+    aa = anchored_align(m_pre.anchor_atlas, f.lk_pyr[0], centers,
+                        f.kp_xy, has_anchor, half=4, iters=10)
+    drift = jnp.sum((aa.xy - f.kp_xy) ** 2, axis=-1)
+    snap = has_anchor & aa.converged & (drift < 2.25)  # <= 1.5 px correction
+    new_xy = jnp.where(snap[:, None], aa.xy, f.kp_xy)
+    f = with_keypoints(f, cam, new_xy, f.kp_level, f.kp_angle,
+                       f.kp_response, f.desc, f.valid)
+
     # re-extract with suppression near live features (AddPoints semantics),
     # then merge the fresh keypoints into f's FREE slots so tracked features
     # keep their slots and landmark links (Frame::AddKeys, Frame.cpp:118-137)
@@ -309,6 +329,9 @@ def keyframe_step(state: VOState, img_right: jax.Array,
         jnp.broadcast_to(kf_slot, f.kp_level.shape), f.kp_level, want)
     # link frame features to their new landmarks
     got = want & (slots < m.capacity)
+    # capture the creation-time anchor patches (templates for the anchored
+    # observation refinement at future keyframes)
+    m = map_mod.write_anchor_patches(m, f.lk_pyr[0], f.kp_xy, slots, got)
     f = f._replace(map_idx=jnp.where(got, slots, f.map_idx))
     # observations for new landmarks + existing tracked landmarks — one
     # fused call (disjoint row sets, same keyframe)

@@ -127,6 +127,34 @@ def align_patches(cur_img: jax.Array,
     return AlignResult(xy=xy, converged=converged & inb, error=err)
 
 
+@functools.partial(jax.jit, static_argnames=("half", "iters"))
+def anchored_align(atlas: jax.Array, img: jax.Array, centers: jax.Array,
+                   init_xy: jax.Array, valid: jax.Array,
+                   half: int = 4, iters: int = 10,
+                   conv_eps: float = 0.03) -> AlignResult:
+    """Align features against their landmark ANCHOR patches.
+
+    atlas: the map's anchor-patch atlas (models/map.py); centers: (N, 2)
+    atlas cell-center positions (map.atlas_cell_centers); init_xy: (N, 2)
+    starting positions in `img` (the LK-tracked keypoints). The template is
+    the landmark's creation-time appearance, so the refined positions carry
+    no accumulated frame-to-frame drift — the observation-consistency
+    requirement of windowed BA. Same inverse-compositional math as the rest
+    of this module (reference Align2D, matcher.cpp:1366-1484; template
+    source per FindMatchDirect, matcher.cpp:1552-1602).
+    """
+    from trackingbench_slam_tpu.ops.pallas.lk_kernel import patch_align_pallas
+
+    if jax.default_backend() == "tpu":
+        xy, conv, err = patch_align_pallas(atlas, img, centers, init_xy,
+                                           valid, half=half, iters=iters,
+                                           conv_eps=conv_eps)
+        return AlignResult(xy=xy, converged=conv, error=err)
+    tpl, tgrad = template_patches_and_grads(atlas, centers, half)
+    return align_patches(img, tpl, tgrad, init_xy, valid, half=half,
+                         iters=iters, conv_eps=conv_eps, with_illum=True)
+
+
 @functools.partial(jax.jit, static_argnames=("half", "iters", "num_levels"))
 def lk_pyramidal(prev_pyr: tuple, cur_pyr: tuple, pts: jax.Array,
                  valid: jax.Array, scale: float,

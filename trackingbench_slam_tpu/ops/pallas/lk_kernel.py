@@ -69,12 +69,27 @@ PTS_PER_PROG = 8  # output block sublane requirement (>= 8) and DMA overlap
 def _lk_kernel(bases_ref, floats_ref, prev_hbm, cur_hbm, out_ref,
                prev_win, cur_win, sems, *, half: int, iters: int,
                conv_eps: float, height: int, width: int):
+    """Slab-batched LK: the program's PTS_PER_PROG points iterate TOGETHER.
+
+    Per iteration, each point contributes one dynamic slab extraction
+    (8-aligned sublane slice + sublane/lane rolls — inherently per-point,
+    the shifts differ), but everything downstream — the 4 bilinear taps,
+    the blend, residuals, the three reductions, and the 3-parameter solve —
+    runs ONCE on a stacked (PTS, SLAB, 128) tensor with (PTS,)-vector
+    state. The r2 kernel ran each point's full while_loop serially; the
+    per-iteration instruction count was the bottleneck (~0.35 us/point-
+    iteration, VPU mostly idle on (24, 128) operands). Batching trades
+    per-point early exit (sum of iters) for joint exit (PTS x max iters)
+    at ~6x fewer instructions per point-iteration."""
     prog = pl.program_id(0)
     P = 2 * half + 1
     SLAB = _slab_rows(half)
     WIN = prev_win.shape[1]
+    PTS = PTS_PER_PROG
+    PL = 128  # patch working width: one lane tile
+    SLICE = _slice_rows(half)
 
-    # start all window DMAs for this program's 8 points up front so decode
+    # start all window DMAs for this program's points up front so decode
     # latency overlaps across points
     def dma(src_ref, win, sem, by, bx):
         # host aligned the bases (rows to 8, lanes to 128); tell Mosaic
@@ -83,166 +98,205 @@ def _lk_kernel(bases_ref, floats_ref, prev_hbm, cur_hbm, out_ref,
                        pl.ds(pl.multiple_of(bx, 128), WIN_LANES)],
             win, sem)
 
-    for j in range(PTS_PER_PROG):
-        i = prog * PTS_PER_PROG + j
+    for j in range(PTS):
+        i = prog * PTS + j
         dma(prev_hbm, prev_win.at[j], sems.at[j, 0],
             bases_ref[0, i], bases_ref[1, i]).start()
         dma(cur_hbm, cur_win.at[j], sems.at[j, 1],
             bases_ref[2, i], bases_ref[3, i]).start()
 
-    PL = 128  # patch working width: one lane tile
-    SLICE = _slice_rows(half)
-    prow = jax.lax.broadcasted_iota(jnp.int32, (SLAB, PL), 0)
-    pcol = jax.lax.broadcasted_iota(jnp.int32, (SLAB, PL), 1)
-    pmask = ((prow < P) & (pcol < P)).astype(jnp.float32)
-
-    def one_point(j):
-        i = prog * PTS_PER_PROG + j
+    # per-point scalars -> (PTS,) vectors
+    tx_l, ty_l, ux_l, uy_l, va_l, bxc_l, byc_l = [], [], [], [], [], [], []
+    for j in range(PTS):
+        i = prog * PTS + j
         by_t = bases_ref[0, i]
         bx_t = bases_ref[1, i]
         by_c = bases_ref[2, i]
         bx_c = bases_ref[3, i]
-        tx = floats_ref[0, i] - bx_t.astype(jnp.float32)
-        ty = floats_ref[1, i] - by_t.astype(jnp.float32)
-        ux0 = floats_ref[2, i] - bx_c.astype(jnp.float32)
-        uy0 = floats_ref[3, i] - by_c.astype(jnp.float32)
-        valid = floats_ref[4, i] > 0.5
-        dma(prev_hbm, prev_win.at[j], sems.at[j, 0], by_t, bx_t).wait()
-        dma(cur_hbm, cur_win.at[j], sems.at[j, 1], by_c, bx_c).wait()
-        return _align_one(prev_win.at[j], cur_win.at[j], tx, ty, ux0, uy0,
-                          valid, bx_c, by_c)
+        tx_l.append(floats_ref[0, i] - bx_t.astype(jnp.float32))
+        ty_l.append(floats_ref[1, i] - by_t.astype(jnp.float32))
+        ux_l.append(floats_ref[2, i] - bx_c.astype(jnp.float32))
+        uy_l.append(floats_ref[3, i] - by_c.astype(jnp.float32))
+        va_l.append(floats_ref[4, i])  # stacked as f32: bool scalar
+        # vectors don't lower in Mosaic; compare after the stack
+        bxc_l.append(bx_c.astype(jnp.float32))
+        byc_l.append(by_c.astype(jnp.float32))
+    tx = jnp.stack(tx_l)
+    ty = jnp.stack(ty_l)
+    ux0 = jnp.stack(ux_l)
+    uy0 = jnp.stack(uy_l)
+    valid = jnp.stack(va_l) > 0.5
+    bx_cv = jnp.stack(bxc_l)
+    by_cv = jnp.stack(byc_l)
 
-    def _align_one(pwin, cwin, tx, ty, ux0, uy0, valid, bx_c, by_c):
-        WINR = pwin.shape[0]
+    for j in range(PTS):
+        i = prog * PTS + j
+        dma(prev_hbm, prev_win.at[j], sems.at[j, 0],
+            bases_ref[0, i], bases_ref[1, i]).wait()
+        dma(cur_hbm, cur_win.at[j], sems.at[j, 1],
+            bases_ref[2, i], bases_ref[3, i]).wait()
 
-        def sample(win, u, v):
-            # gather-free bilinear patch read, all VPU: 8-aligned sublane
-            # slice -> dynamic sublane roll (sub-tile remainder) -> dynamic
-            # lane roll -> 4 statically-sliced taps blended by the bilinear
-            # fractions. Lane roll is cyclic but never wraps into the live
-            # P+1 columns: ixc <= WIN_LANES - P - 2.
-            vtop = v - half
-            utop = u - half
+    prow = jax.lax.broadcasted_iota(jnp.int32, (SLAB, PL), 0)
+    pcol = jax.lax.broadcasted_iota(jnp.int32, (SLAB, PL), 1)
+    pmask3 = ((prow < P) & (pcol < P)).astype(jnp.float32)[None]
+
+    def sample_batched(wins, u_vec, v_vec):
+        # gather-free bilinear patch read, all VPU. Per point: 8-aligned
+        # sublane slice -> dynamic sublane roll (sub-tile remainder) ->
+        # dynamic lane roll. Then ONE batched 4-tap blend on the stacked
+        # (PTS, SLICE, 256) tensor. Lane roll is cyclic but never wraps
+        # into the live P+1 columns: ixc <= WIN_LANES - P - 2.
+        # Index math runs per point in SCALARS: Mosaic cannot shape-cast a
+        # (PTS,) lane vector into the (PTS, 1, 1) tile-batch layout, so the
+        # blend weights are built by concatenating scalar-filled (1, 1, 1)
+        # blocks instead.
+        slabs, fxs, fys = [], [], []
+        for j in range(PTS):
+            vtop = v_vec[j] - half
+            utop = u_vec[j] - half
             iy = jnp.floor(vtop).astype(jnp.int32)
             fy = vtop - iy.astype(jnp.float32)
             ix = jnp.floor(utop).astype(jnp.int32)
             fx = utop - ix.astype(jnp.float32)
-            iyc = jnp.clip(iy, 0, WINR - SLICE)
-            ixc = jnp.clip(ix, 0, WIN_LANES - P - 2)
-            base = pl.multiple_of((iyc // 8) * 8, 8)
-            slab = win[pl.ds(base, SLICE), :]
-            slab = pltpu.roll(slab, -(iyc % 8), axis=0)
-            slab = pltpu.roll(slab, -ixc, axis=1)
-            t00 = slab[:SLAB, :PL]
-            t01 = slab[:SLAB, 1:PL + 1]
-            t10 = slab[1:SLAB + 1, :PL]
-            t11 = slab[1:SLAB + 1, 1:PL + 1]
-            top = t00 + fx * (t01 - t00)
-            bot = t10 + fx * (t11 - t10)
-            return top + fy * (bot - top)
+            iyj = jnp.clip(iy, 0, WIN - SLICE)
+            ixj = jnp.clip(ix, 0, WIN_LANES - P - 2)
+            base = pl.multiple_of((iyj // 8) * 8, 8)
+            s = wins.at[j][pl.ds(base, SLICE), :]
+            s = pltpu.roll(s, -(iyj % 8), axis=0)
+            s = pltpu.roll(s, -ixj, axis=1)
+            slabs.append(s)
+            # scalar splat to a full (SLAB, PL) tile: Mosaic cannot
+            # broadcast (PTS, 1, 1) across sublanes AND lanes in one op,
+            # but a scalar fill is a single native splat
+            fxs.append(jnp.full((1, SLAB, PL), fx, jnp.float32))
+            fys.append(jnp.full((1, SLAB, PL), fy, jnp.float32))
+        X = jnp.concatenate(slabs, axis=0).reshape(PTS, SLICE, WIN_LANES)
+        fx3 = jnp.concatenate(fxs, axis=0)      # (PTS, SLAB, PL)
+        fy3 = jnp.concatenate(fys, axis=0)
+        t00 = X[:, :SLAB, :PL]
+        t01 = X[:, :SLAB, 1:PL + 1]
+        t10 = X[:, 1:SLAB + 1, :PL]
+        t11 = X[:, 1:SLAB + 1, 1:PL + 1]
+        top = t00 + fx3 * (t01 - t00)
+        bot = t10 + fx3 * (t11 - t10)
+        return top + fy3 * (bot - top)          # (PTS, SLAB, PL)
 
-        # template patch + gradients (inverse compositional) from ONE
-        # enlarged sample: bilinear sampling is linear in the integer taps,
-        # so sample(u+1, v) is exactly sample(u, v) shifted one column —
-        # one (tx-1, ty-1)-origin sample + static shifts replaces 5 samples
-        # (valid extent P+2 <= SLAB-1 rows / PL-1 cols; pads land outside
-        # pmask)
-        S = sample(pwin, tx - 1.0, ty - 1.0)
+    def psum2(x):
+        return jnp.sum(jnp.sum(x, axis=2), axis=1)   # (PTS,)
 
-        def shifted(dr, dc):
-            # static cyclic rolls (jnp.pad does not lower in Mosaic); the
-            # wrapped rows/cols land at indices >= P, outside pmask.
-            # pltpu.roll requires non-negative static shifts: roll by the
-            # cyclic complement.
-            r = pltpu.roll(S, SLAB - dr, 0) if dr else S
-            return pltpu.roll(r, PL - dc, 1) if dc else r
+    # template patches + gradients (inverse compositional) from ONE enlarged
+    # batched sample: bilinear sampling is linear in the integer taps, so
+    # sample(u+1, v) is exactly sample(u, v) shifted one column — one
+    # (tx-1, ty-1)-origin sample + static shifts replaces 5 samples (valid
+    # extent P+2 <= SLAB-1 rows / PL-1 cols; pads land outside pmask)
+    S = sample_batched(prev_win, tx - 1.0, ty - 1.0)
 
-        tpl = shifted(1, 1)
-        gx = 0.5 * (shifted(1, 2) - shifted(1, 0))
-        gy = 0.5 * (shifted(2, 1) - shifted(0, 1))
+    def shifted(dr, dc):
+        # static cyclic rolls (jnp.pad does not lower in Mosaic); wrapped
+        # rows/cols land at per-point indices >= P, outside pmask (needs
+        # SLAB >= P + 2 and PL >= P + 2, both guaranteed by _slab_rows).
+        # pltpu.roll requires non-negative static shifts: roll by the
+        # cyclic complement.
+        r = pltpu.roll(S, SLAB - dr, 1) if dr else S
+        return pltpu.roll(r, PL - dc, 2) if dc else r
 
-        h00 = jnp.sum(gx * gx * pmask) + 1e-6
-        h01 = jnp.sum(gx * gy * pmask)
-        h02 = jnp.sum(gx * pmask)
-        h11 = jnp.sum(gy * gy * pmask) + 1e-6
-        h12 = jnp.sum(gy * pmask)
-        h22 = jnp.sum(pmask) + 1e-6
-        # closed-form 3x3 symmetric inverse (cofactors / det)
-        c00 = h11 * h22 - h12 * h12
-        c01 = h02 * h12 - h01 * h22
-        c02 = h01 * h12 - h02 * h11
-        c11 = h00 * h22 - h02 * h02
-        c12 = h01 * h02 - h00 * h12
-        c22 = h00 * h11 - h01 * h01
-        det = h00 * c00 + h01 * c01 + h02 * c02
-        det = jnp.where(jnp.abs(det) < 1e-10, 1e-10, det)
-        inv_det = 1.0 / det
+    tpl = shifted(1, 1)
+    gx = 0.5 * (shifted(1, 2) - shifted(1, 0))
+    gy = 0.5 * (shifted(2, 1) - shifted(0, 1))
 
-        lo = jnp.float32(half + 1)
-        # upper bounds chosen so the slice clamp (iyc/ixc) can never engage
-        # for an in-bounds position, including the +-1 gradient samples:
-        # iy = floor(v+1) - half must stay <= WIN - SLICE,
-        # ix = floor(u+1) - half <= WIN_LANES - P - 2
-        hi_y = jnp.float32(WIN - SLICE + half - 1)
-        hi_x = jnp.float32(WIN_LANES - half - 4)
+    h00 = psum2(gx * gx * pmask3) + 1e-6
+    h01 = psum2(gx * gy * pmask3)
+    h02 = psum2(gx * pmask3)
+    h11 = psum2(gy * gy * pmask3) + 1e-6
+    h12 = psum2(gy * pmask3)
+    h22 = psum2(jnp.broadcast_to(pmask3, gx.shape)) + 1e-6
+    # closed-form 3x3 symmetric inverse (cofactors / det), (PTS,) vectors
+    c00 = h11 * h22 - h12 * h12
+    c01 = h02 * h12 - h01 * h22
+    c02 = h01 * h12 - h02 * h11
+    c11 = h00 * h22 - h02 * h02
+    c12 = h01 * h02 - h00 * h12
+    c22 = h00 * h11 - h01 * h01
+    det = h00 * c00 + h01 * c01 + h02 * c02
+    det = jnp.where(jnp.abs(det) < 1e-10, 1e-10, det)
+    inv_det = 1.0 / det
 
-        def cond(state):
-            i, u, v, md, active, failed, err = state
-            return (i < iters) & active
+    lo = jnp.float32(half + 1)
+    # upper bounds chosen so the slice clamp (iyc/ixc) can never engage
+    # for an in-bounds position, including the +-1 gradient samples:
+    # iy = floor(v+1) - half must stay <= WIN - SLICE,
+    # ix = floor(u+1) - half <= WIN_LANES - P - 2
+    hi_y = jnp.float32(WIN - SLICE + half - 1)
+    hi_x = jnp.float32(WIN_LANES - half - 4)
 
-        def body(state):
-            i, u, v, md, active, failed, err = state
-            cur = sample(cwin, u, v)
-            r = (cur - tpl + md) * pmask
-            b0 = jnp.sum(r * gx)
-            b1 = jnp.sum(r * gy)
-            b2 = jnp.sum(r)
-            du = -(c00 * b0 + c01 * b1 + c02 * b2) * inv_det
-            dv = -(c01 * b0 + c11 * b1 + c12 * b2) * inv_det
-            dm = -(c02 * b0 + c12 * b1 + c22 * b2) * inv_det
-            u_raw = u + du
-            v_raw = v + dv
-            # a step that leaves the window is a FAILURE, not a clamp: the
-            # clamped point would sit at the window edge with a tiny step
-            # and report convergence at a garbage position
-            out = ((u_raw < lo) | (u_raw > hi_x)
-                   | (v_raw < lo) | (v_raw > hi_y))
-            failed = failed | (active & out)
-            u_new = jnp.clip(u_raw, lo, hi_x)
-            v_new = jnp.clip(v_raw, lo, hi_y)
-            step2 = du * du + dv * dv
-            err = jnp.where(active, jnp.sum(jnp.abs(r)) / (P * P), err)
-            u = jnp.where(active, u_new, u)
-            v = jnp.where(active, v_new, v)
-            md = jnp.where(active, md + dm, md)
-            active = active & (step2 >= conv_eps * conv_eps) & ~failed
-            return i + 1, u, v, md, active, failed, err
+    # reject points whose window clamp moved the patch off-position
+    in_bounds = ((ty >= lo) & (ty <= hi_y) & (tx >= lo) & (tx <= hi_x)
+                 & (uy0 >= lo) & (uy0 <= hi_y)
+                 & (ux0 >= lo) & (ux0 <= hi_x))
+    run = valid & in_bounds
 
-        # reject points whose window clamp moved the patch off-position
-        in_bounds = ((ty >= lo) & (ty <= hi_y) & (tx >= lo) & (tx <= hi_x)
-                     & (uy0 >= lo) & (uy0 <= hi_y)
-                     & (ux0 >= lo) & (ux0 <= hi_x))
-        run = valid & in_bounds
+    # loop carry uses f32 masks (1.0/0.0): Mosaic fails to legalize bool
+    # vectors through the while_loop yield
+    def cond(state):
+        i, u, v, md, active, failed = state
+        return (i < iters) & (jnp.max(active) > 0.5)
 
-        # while_loop (not fori): a typical patch converges in 3-6 GN steps,
-        # so per-point early exit cuts the serial iteration count ~5x
-        _, u, v, md, active, failed, err = jax.lax.while_loop(
-            cond, body,
-            (jnp.int32(0), ux0, uy0, jnp.float32(0.0), run, jnp.bool_(False),
-             jnp.float32(1e9)))
-        converged = run & ~active & ~failed
-        return (u + bx_c.astype(jnp.float32),
-                v + by_c.astype(jnp.float32),
-                converged.astype(jnp.float32), err)
+    def body(state):
+        i, u, v, md, active, failed = state
+        cur = sample_batched(cur_win, u, v)
+        # the illumination term enters the normal equations as
+        # sum((cur - tpl + md) g pmask) = sum((cur - tpl) g pmask) + md*h_g
+        # — folding md into (PTS,)-vector math avoids materializing a
+        # (PTS, SLAB, PL) broadcast tensor each iteration
+        r = (cur - tpl) * pmask3
+        b0 = psum2(r * gx) + md * h02
+        b1 = psum2(r * gy) + md * h12
+        b2 = psum2(r) + md * h22
+        du = -(c00 * b0 + c01 * b1 + c02 * b2) * inv_det
+        dv = -(c01 * b0 + c11 * b1 + c12 * b2) * inv_det
+        dm = -(c02 * b0 + c12 * b1 + c22 * b2) * inv_det
+        u_raw = u + du
+        v_raw = v + dv
+        # a step that leaves the window is a FAILURE, not a clamp: the
+        # clamped point would sit at the window edge with a tiny step
+        # and report convergence at a garbage position
+        out = ((u_raw < lo) | (u_raw > hi_x)
+               | (v_raw < lo) | (v_raw > hi_y)).astype(jnp.float32)
+        failed = jnp.maximum(failed, active * out)
+        u_new = jnp.clip(u_raw, lo, hi_x)
+        v_new = jnp.clip(v_raw, lo, hi_y)
+        step2 = du * du + dv * dv
+        u = u + active * (u_new - u)
+        v = v + active * (v_new - v)
+        md = md + active * dm
+        small = (step2 < conv_eps * conv_eps).astype(jnp.float32)
+        active = active * (1.0 - small) * (1.0 - failed)
+        return i + 1, u, v, md, active, failed
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, WIN_LANES), 1)
-    for j in range(PTS_PER_PROG):
-        ox, oy, oc, oe = one_point(j)
-        row = (jnp.where(lane == 0, ox, 0.0)
-               + jnp.where(lane == 1, oy, 0.0)
-               + jnp.where(lane == 2, oc, 0.0)
-               + jnp.where(lane == 3, oe, 0.0))
-        out_ref[pl.ds(j, 1), :] = row
+    runf = run.astype(jnp.float32)
+    _, u, v, md, active, failed = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), ux0, uy0, jnp.zeros((PTS,), jnp.float32), runf,
+         jnp.zeros((PTS,), jnp.float32)))
+    converged = run & (active < 0.5) & (failed < 0.5)
+    # mean |residual| at the solution (diagnostic output; one extra sample
+    # instead of per-iteration bookkeeping). md enters as a (PTS, 1, 1)
+    # concat of scalar fills, once.
+    cur_f = sample_batched(cur_win, u, v)
+    md3 = jnp.concatenate(
+        [jnp.full((1, SLAB, PL), md[j], jnp.float32) for j in range(PTS)],
+        axis=0)
+    err = psum2(jnp.abs(cur_f - tpl + md3) * pmask3) / (P * P)
+    err = jnp.where(run, err, 1e9)
+
+    ox = u + bx_cv
+    oy = v + by_cv
+    lane = jax.lax.broadcasted_iota(jnp.int32, (PTS, WIN_LANES), 1)
+    row = (jnp.where(lane == 0, ox[:, None], 0.0)
+           + jnp.where(lane == 1, oy[:, None], 0.0)
+           + jnp.where(lane == 2, converged.astype(jnp.float32)[:, None], 0.0)
+           + jnp.where(lane == 3, err[:, None], 0.0))
+    out_ref[:, :] = row
 
 
 def _round_up(x, m):

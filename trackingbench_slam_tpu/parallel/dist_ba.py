@@ -208,7 +208,8 @@ def distributed_bundle_adjust_grouped(mesh: Mesh, cam: cam_mod.CameraParams,
                                       iters: int = 10,
                                       huber_delta: float | None = 2.4477,
                                       init_lambda: float = 1e-4,
-                                      num_fixed: int = 1):
+                                      num_fixed: int = 1,
+                                      fixed_mask: jax.Array | None = None):
     """Distributed GROUPED bundle adjustment — the production (scatter-free)
     formulation sharded over the 'lm' axis.
 
@@ -220,11 +221,21 @@ def distributed_bundle_adjust_grouped(mesh: Mesh, cam: cam_mod.CameraParams,
     never leave their shard. Requires L %% mesh size == 0 (pad with invalid
     rows).
 
+    fixed_mask ((K,) bool, replicated, dynamic) overrides num_fixed —
+    clamped poses keep contributing observations, matching
+    local_ba.schur_solve.
+
     Returns (T_cw (K, 4, 4), points (L, 3))."""
     lm_axis = "lm"
     K = gp.T_cw.shape[0]
+    if fixed_mask is None:
+        fixed_mask = jnp.arange(K) < num_fixed
 
-    def shard_fn(T_cw, points, obs_kf, obs_px, obs_is, obs_va, obs_ur):
+    def shard_fn(T_cw, points, fixm, obs_kf, obs_px, obs_is, obs_va,
+                 obs_ur):
+        free = 1.0 - fixm.astype(jnp.float32)
+        kk = jnp.arange(K)[:, None]
+        ii = jnp.arange(6)[None, :]
         prob = local_ba.GroupedBAProblem(
             T_cw=T_cw, points=points, obs_kf=obs_kf, obs_px=obs_px,
             obs_inv_sigma2=obs_is, obs_valid=obs_va, obs_ur=obs_ur)
@@ -257,14 +268,16 @@ def distributed_bundle_adjust_grouped(mesh: Mesh, cam: cam_mod.CameraParams,
             diagS = S[jnp.arange(K), :, jnp.arange(K), :]
             S = S.at[jnp.arange(K), :, jnp.arange(K), :].set(
                 local_ba.damp_diagonal(diagS, lam, 6))
-            for f in range(num_fixed):
-                S = S.at[f].set(0.0).at[:, :, f, :].set(0.0)
-                S = S.at[f, jnp.arange(6), f, jnp.arange(6)].set(1.0)
-                rhs = rhs.at[f].set(0.0)
+            # dynamic clamp mask (replicated): zero fixed rows/cols,
+            # identity diagonal — same scheme as local_ba.schur_solve
+            S = S * free[:, None, None, None] * free[None, None, :, None]
+            S = S.at[kk, ii, kk, ii].add(fixm.astype(S.dtype)[:, None])
+            rhs = rhs * free[:, None]
             Sd = S.reshape(6 * K, 6 * K)
             L, low = jax.scipy.linalg.cho_factor(Sd, lower=True)
             dxi = jax.scipy.linalg.cho_solve(
                 (L, low), rhs.reshape(-1)).reshape(K, 6)
+            dxi = dxi * free[:, None]
             corr = jnp.einsum("mkij,ki->mj", Wb, dxi,
                               precision=jax.lax.Precision.HIGHEST)
             dX = jnp.einsum("mij,mj->mi", Vinv, bl - corr,
@@ -299,10 +312,10 @@ def distributed_bundle_adjust_grouped(mesh: Mesh, cam: cam_mod.CameraParams,
         obs_ur = jnp.full(gp.obs_valid.shape, -1.0, jnp.float32)
     fn = jax.jit(shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P(lm_axis), P(lm_axis), P(lm_axis), P(lm_axis),
+        in_specs=(P(), P(lm_axis), P(), P(lm_axis), P(lm_axis), P(lm_axis),
                   P(lm_axis), P(lm_axis)),
         out_specs=(P(), P(lm_axis)),
         check_vma=False,
     ))
-    return fn(gp.T_cw, gp.points, gp.obs_kf, gp.obs_px,
+    return fn(gp.T_cw, gp.points, fixed_mask, gp.obs_kf, gp.obs_px,
               gp.obs_inv_sigma2, gp.obs_valid, obs_ur)

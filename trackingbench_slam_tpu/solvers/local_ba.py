@@ -143,18 +143,25 @@ def damp_diagonal(A, lam, n: int):
     return A + (lam * d + 1e-6)[..., None] * jnp.eye(n, dtype=A.dtype)
 
 
-def schur_solve(U, V, Wb, bp, bl, lam, num_fixed: int = 1):
+def schur_solve(U, V, Wb, bp, bl, lam, num_fixed: int = 1,
+                fixed_mask: jax.Array | None = None):
     """Reduced camera system + landmark back-substitution.
 
     num_fixed poses at the start of the window are clamped (gauge: >= 1 pins
     the frame, >= 2 also pins monocular scale — the windowed analogue of
     ORB-SLAM's fixed keyframes; stereo windows can use 1).
 
+    fixed_mask ((K,) bool, DYNAMIC) overrides num_fixed: every masked pose
+    is clamped at its current estimate while its observations still
+    constrain the landmarks — exactly ORB-SLAM's fixed-keyframe role in
+    local BA (the neighbors outside the optimization window enter the graph
+    as fixed vertices). Used by the live stage to freeze all but the newest
+    `window_keyframes` ring poses, so old poses stop being re-optimized
+    against long-drifted observations.
+
     Returns (dxi (K,6), dX (M,3))."""
     K = U.shape[0]
     M = V.shape[0]
-    eye3 = jnp.eye(3, dtype=V.dtype)
-    eye6 = jnp.eye(6, dtype=U.dtype)
     # Marquardt (diagonal-relative) damping + small absolute floor: block
     # magnitudes here reach ~1e8 (inv_sigma2-weighted Hessians over
     # thousands of observations), so an absolute lambda of 1e-4 is ~1e-12
@@ -174,15 +181,26 @@ def schur_solve(U, V, Wb, bp, bl, lam, num_fixed: int = 1):
     S = -S_off
     S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(damp_diag(U, 6))
     rhs = bp - jnp.einsum("mkij,mj->ki", T1, bl, precision=HI)  # (K,6)
-    for f in range(num_fixed):
-        # clamp pose f: identity row/col block, zero rhs
-        S = S.at[f].set(0.0)
-        S = S.at[:, :, f, :].set(0.0)
-        S = S.at[f, jnp.arange(6), f, jnp.arange(6)].set(1.0)
-        rhs = rhs.at[f].set(0.0)
+    if fixed_mask is not None:
+        free = 1.0 - fixed_mask.astype(S.dtype)          # (K,)
+        S = S * free[:, None, None, None] * free[None, None, :, None]
+        # identity diagonal on fixed blocks keeps the system non-singular
+        kk = jnp.arange(K)[:, None]
+        ii = jnp.arange(6)[None, :]
+        S = S.at[kk, ii, kk, ii].add(fixed_mask.astype(S.dtype)[:, None])
+        rhs = rhs * free[:, None]
+    else:
+        for f in range(num_fixed):
+            # clamp pose f: identity row/col block, zero rhs
+            S = S.at[f].set(0.0)
+            S = S.at[:, :, f, :].set(0.0)
+            S = S.at[f, jnp.arange(6), f, jnp.arange(6)].set(1.0)
+            rhs = rhs.at[f].set(0.0)
     Sd = S.reshape(6 * K, 6 * K)
     L, low = jax.scipy.linalg.cho_factor(Sd, lower=True)
     dxi = jax.scipy.linalg.cho_solve((L, low), rhs.reshape(-1)).reshape(K, 6)
+    if fixed_mask is not None:
+        dxi = dxi * (1.0 - fixed_mask.astype(dxi.dtype))[:, None]
     # back-substitute: dX_m = Vinv_m (bl_m - sum_k W_{m,k}^T dxi_k)
     corr = jnp.einsum("mkij,ki->mj", Wb, dxi, precision=HI)  # (M,3)
     dX = jnp.einsum("mij,mj->mi", Vinv, bl - corr, precision=HI)
@@ -275,8 +293,10 @@ def bundle_adjust_grouped(cam: cam_mod.CameraParams, p: GroupedBAProblem,
                           iters: int = 10,
                           huber_delta: float | None = 2.4477,
                           init_lambda: float = 1e-4,
-                          num_fixed: int = 1):
+                          num_fixed: int = 1,
+                          fixed_mask: jax.Array | None = None):
     """LM loop over the grouped (scatter-free) blocks; same Schur solve.
+    fixed_mask ((K,) bool, dynamic) overrides num_fixed — see schur_solve.
     Returns (T_cw (K,4,4), points (L,3))."""
 
     def total_cost(T_cw, points):
@@ -290,7 +310,7 @@ def bundle_adjust_grouped(cam: cam_mod.CameraParams, p: GroupedBAProblem,
         T_cw, points, lam, cost = state
         U, V, Wb, bp, bl, _ = build_grouped_blocks(cam, T_cw, points, p,
                                                    huber_delta)
-        dxi, dX = schur_solve(U, V, Wb, bp, bl, lam, num_fixed)
+        dxi, dX = schur_solve(U, V, Wb, bp, bl, lam, num_fixed, fixed_mask)
         T_new = jax.vmap(lambda d, T: se3.compose(se3.exp(d), T))(dxi, T_cw)
         X_new = points + dX
         c_new = total_cost(T_new, X_new)

@@ -124,8 +124,12 @@ class SolverConfig:
     chi2_threshold: float = 5.991
     huber_delta: float = 2.4477  # sqrt(5.991)
     init_lambda: float = 1e-4
-    # windowed BA
-    window_keyframes: int = 10
+    # windowed BA: number of NEWEST ring keyframes whose poses optimize in a
+    # local-BA pass; all older ring poses enter as fixed vertices (their
+    # observations still constrain landmarks — ORB-SLAM's lFixedCameras).
+    # Full-ring optimization re-fits old poses to long-drifted LK
+    # observations and measurably degrades keyframe accuracy (diag r3).
+    window_keyframes: int = 5
     max_landmarks: int = 4096
     # LM iterations per live local-BA pass: the grouped solver converges in
     # a handful of accepted steps; 6 keeps the per-keyframe cost ~80 ms
