@@ -113,6 +113,88 @@ def load_euroc(root: str, prefetch: int = 4) -> StereoSequence:
         timestamps=timestamps, gt_T_cw=gt, name="euroc")
 
 
+def _write_gray_png(path: str, img: np.ndarray) -> None:
+    from PIL import Image
+    Image.fromarray(np.clip(img, 0, 255).astype(np.uint8), mode="L").save(
+        path)
+
+
+def save_corridor_kitti(root: str, n_frames: int = 100,
+                        width: int = 1226, height: int = 370,
+                        baseline: float = 0.54, step: float = 0.12,
+                        yaw_rate: float = 0.01,
+                        fx: float = 707.09) -> "StereoSequence":
+    """Materialize the corridor scene as a REAL KITTI-layout sequence:
+    PNG stereo pairs (decoded back through the native C++ loader), times.txt,
+    and a poses/00.txt ground truth — the full-sequence protocol of the
+    reference's test_kitti (test/test_vo.cpp:613-872) with exact GT.
+    Returns the loaded StereoSequence."""
+    from trackingbench_slam_tpu.utils.config import CameraConfig
+    from trackingbench_slam_tpu.utils.synthetic import (
+        CorridorScene, forward_yaw_trajectory)
+    cam = CameraConfig(width=width, height=height, fx=fx, fy=fx,
+                       cx=width / 2, cy=height / 2, bf=fx * baseline)
+    scene = CorridorScene(cam, width=10.0, height=5.0)
+    gt = forward_yaw_trajectory(n_frames, step=step, yaw_rate=yaw_rate)
+    seq_dir = os.path.join(root, "sequences", "00")
+    os.makedirs(os.path.join(seq_dir, "image_0"), exist_ok=True)
+    os.makedirs(os.path.join(seq_dir, "image_1"), exist_ok=True)
+    os.makedirs(os.path.join(root, "poses"), exist_ok=True)
+    for i, T in enumerate(gt):
+        L, R = scene.stereo_pair(T, baseline)
+        _write_gray_png(os.path.join(seq_dir, "image_0", f"{i:06d}.png"), L)
+        _write_gray_png(os.path.join(seq_dir, "image_1", f"{i:06d}.png"), R)
+    np.savetxt(os.path.join(seq_dir, "times.txt"),
+               np.arange(n_frames) * 0.1)
+    T_wc = np.linalg.inv(gt)
+    np.savetxt(os.path.join(root, "poses", "00.txt"),
+               T_wc[:, :3, :].reshape(n_frames, 12))
+    return load_kitti_odometry(root, "00")
+
+
+def save_synthetic_euroc(root: str, n_frames: int = 24,
+                         width: int = 752, height: int = 480,
+                         baseline: float = 0.11,
+                         fx: float = 435.2) -> "StereoSequence":
+    """Materialize a corridor sequence in the EuRoC MAV directory layout
+    (cam0/cam1 PNGs named by timestamp-ns, data.csv, ground-truth csv with
+    p + q_wxyz rows) so load_euroc is exercised end-to-end."""
+    from trackingbench_slam_tpu.utils.config import CameraConfig
+    from trackingbench_slam_tpu.utils.synthetic import (
+        CorridorScene, forward_yaw_trajectory)
+    from scipy.spatial.transform import Rotation
+    cam = CameraConfig(width=width, height=height, fx=fx, fy=fx,
+                       cx=width / 2, cy=height / 2, bf=fx * baseline)
+    scene = CorridorScene(cam, width=8.0, height=4.0)
+    gt = forward_yaw_trajectory(n_frames, step=0.08, yaw_rate=0.012)
+    cam0 = os.path.join(root, "mav0", "cam0", "data")
+    cam1 = os.path.join(root, "mav0", "cam1", "data")
+    gt_dir = os.path.join(root, "mav0", "state_groundtruth_estimate0")
+    os.makedirs(cam0, exist_ok=True)
+    os.makedirs(cam1, exist_ok=True)
+    os.makedirs(gt_dir, exist_ok=True)
+    t0 = 1403636579763555584  # EuRoC-style ns epoch
+    stamps = t0 + np.arange(n_frames, dtype=np.int64) * 50_000_000
+    rows = []
+    for i, T in enumerate(gt):
+        L, R = scene.stereo_pair(T, baseline)
+        _write_gray_png(os.path.join(cam0, f"{stamps[i]}.png"), L)
+        _write_gray_png(os.path.join(cam1, f"{stamps[i]}.png"), R)
+        T_wc = np.linalg.inv(T)
+        q = Rotation.from_matrix(T_wc[:3, :3]).as_quat()  # x, y, z, w
+        rows.append([stamps[i], *T_wc[:3, 3], q[3], q[0], q[1], q[2]])
+    csv = os.path.join(cam0, "..", "data.csv")
+    with open(os.path.normpath(csv), "w") as f:
+        f.write("#timestamp [ns],filename\n")
+        for s in stamps:
+            f.write(f"{s},{s}.png\n")
+    with open(os.path.join(gt_dir, "data.csv"), "w") as f:
+        f.write("#timestamp, p_x, p_y, p_z, q_w, q_x, q_y, q_z\n")
+        for r in rows:
+            f.write(",".join(str(v) for v in r) + "\n")
+    return load_euroc(root)
+
+
 def save_synthetic_kitti(root: str, n_frames: int = 20,
                          width: int = 1226, height: int = 370,
                          baseline: float = 0.54) -> StereoSequence:
