@@ -203,8 +203,8 @@ def test_local_ba_reduces_drift_on_corridor():
         results[ba] = (ate, ee)
     ate_off, ee_off = results[0]
     ate_on, ee_on = results[2]
-    assert ee_on < ee_off, results        # endpoint drift drops
-    assert ate_on < ate_off * 1.05, results  # aligned ATE no worse
+    assert ee_on < ee_off, results   # endpoint drift drops
+    assert ate_on < ate_off, results  # BA must strictly improve aligned ATE
 
 
 def test_grouped_ba_matches_flat(rng):

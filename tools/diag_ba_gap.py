@@ -40,6 +40,7 @@ def main():
     p.add_argument("--ba-iters", type=int, default=None)
     p.add_argument("--max-landmarks", type=int, default=None)
     p.add_argument("--huber", type=float, default=None)
+    p.add_argument("--stereo-weight", type=float, default=None)
     p.add_argument("--bench-scale", action="store_true",
                    help="use the bench.py operating point (1226x370, 2000 "
                         "features, 16 KFs) instead of the small test scene")
@@ -76,6 +77,8 @@ def main():
         solver = dataclasses.replace(solver, max_landmarks=args.max_landmarks)
     if args.huber is not None:
         solver = dataclasses.replace(solver, huber_delta=args.huber)
+    if args.stereo_weight is not None:
+        solver = dataclasses.replace(solver, stereo_weight=args.stereo_weight)
     if args.bench_scale:
         cam = CameraConfig(width=1226, height=370, fx=707.09, fy=707.09,
                            cx=601.89, cy=183.11, bf=707.09 * 0.54)
@@ -191,14 +194,16 @@ def main():
                     sel = np.where((midx[s] >= 0) & kpv[s])[0]
                     for f_ in sel:
                         per_lm.setdefault(int(midx[s, f_]), []).append(
-                            (s, ti, kp[s, f_]))
+                            (s, ti, f_, kp[s, f_]))
                 errs_by_slot = {s: [] for s in range(KF)}
+                ur_errs = []
+                kp_ur = np.asarray(kfs.kp_ur)
                 for lm, obs in per_lm.items():
                     if len(obs) < 2:
                         continue
                     # DLT through GT poses
                     A = []
-                    for s, ti, px in obs:
+                    for s, ti, f_, px in obs:
                         T = gt[ti]
                         P = np.zeros((3, 4))
                         P[:3, :3] = T[:3, :3]
@@ -212,7 +217,7 @@ def main():
                     _, _, Vt = np.linalg.svd(A)
                     X = Vt[-1]
                     X = X[:3] / X[3]
-                    for s, ti, px in obs:
+                    for s, ti, f_, px in obs:
                         T = gt[ti]
                         pc = T[:3, :3] @ X + T[:3, 3]
                         if pc[2] < 0.1:
@@ -221,6 +226,9 @@ def main():
                         v = cam_.fy * pc[1] / pc[2] + cam_.cy
                         errs_by_slot[s].append(np.hypot(px[0] - u,
                                                         px[1] - v))
+                        ur = kp_ur[s, f_]
+                        if ur >= 0:
+                            ur_errs.append(ur - (u - cam_.bf / pc[2]))
                 parts = []
                 order = np.argsort(np.where(kvalid, fids, 10 ** 9))
                 for s in order:
@@ -228,6 +236,12 @@ def main():
                         parts.append(f"{np.mean(errs_by_slot[s]):.3f}")
                 print(f"  obs |resid| px by kf (oldest first): "
                       f"{' '.join(parts)}")
+                if ur_errs:
+                    ur_errs = np.asarray(ur_errs)
+                    print(f"  u_R err px: bias {ur_errs.mean():+.3f} "
+                          f"std {ur_errs.std():.3f} "
+                          f"|err| mean {np.abs(ur_errs).mean():.3f} "
+                          f"(n={len(ur_errs)})")
 
             def wrapped(state, cam_, cfg_, num_fixed=1):
                 obs_quality(state, cam_)

@@ -132,6 +132,19 @@ def local_ba_step(state, cam: cam_mod.CameraParams, cfg: PipelineConfig,
     KF = kfs.T_cw.shape[0]
     problem, order, lm_idx = build_window_problem_grouped(
         m, kfs, cfg.pyramid.scale_factor, cfg.solver.max_landmarks)
+    if cfg.solver.stereo_gate_px > 0 and problem.obs_ur is not None:
+        # kill heavy-tail u_R rows before the solve: the stereo-LK disparity
+        # is unbiased but ~6x noisier than the left observations with multi-
+        # pixel outliers (diag r3); a row whose residual at the CURRENT
+        # (mm-accurate) window estimate exceeds the gate is tail, not signal.
+        # The observation's mono rows stay in the problem.
+        from trackingbench_slam_tpu.solvers import local_ba as lba
+        r0, _, _, _, _ = lba._grouped_residuals(
+            cam, problem.T_cw, problem.points, problem)
+        bad_ur = ((problem.obs_ur >= 0)
+                  & (jnp.abs(r0[..., 2]) > cfg.solver.stereo_gate_px))
+        problem = problem._replace(
+            obs_ur=jnp.where(bad_ur, -1.0, problem.obs_ur))
     # ORB-SLAM local-BA window semantics: only the newest
     # `solver.window_keyframes` poses optimize; every older ring pose is a
     # FIXED vertex whose observations still constrain the landmarks
@@ -161,13 +174,13 @@ def local_ba_step(state, cam: cam_mod.CameraParams, cfg: PipelineConfig,
             dev_mesh, cam, problem, iters=cfg.solver.ba_iters,
             huber_delta=cfg.solver.huber_delta,
             init_lambda=cfg.solver.init_lambda, num_fixed=num_fixed,
-            fixed_mask=fixed_mask)
+            fixed_mask=fixed_mask, stereo_weight=cfg.solver.stereo_weight)
     else:
         T_opt, X_opt = bundle_adjust_grouped(
             cam, problem, iters=cfg.solver.ba_iters,
             huber_delta=cfg.solver.huber_delta,
             init_lambda=cfg.solver.init_lambda, num_fixed=num_fixed,
-            fixed_mask=fixed_mask)
+            fixed_mask=fixed_mask, stereo_weight=cfg.solver.stereo_weight)
 
     ord_valid = kfs.valid[order]
     T_new = jnp.where(ord_valid[:, None, None], T_opt, problem.T_cw)

@@ -108,7 +108,8 @@ def distributed_bundle_adjust(mesh: Mesh, cam: cam_mod.CameraParams,
                               iters: int = 10,
                               huber_delta: float | None = 2.4477,
                               init_lambda: float = 1e-4,
-                              num_fixed: int = 1):
+                              num_fixed: int = 1,
+                              stereo_weight: float = 1.0):
     """Returns (T_cw (K,4,4), points (D*M_loc,3)). jit-compatible."""
 
     lm_axis = "lm"
@@ -122,7 +123,8 @@ def distributed_bundle_adjust(mesh: Mesh, cam: cam_mod.CameraParams,
             obs_ur=obs_ur)
 
         def total_cost(T, X):
-            r, pc, _, _, row_ok = local_ba._obs_residuals(cam, T, X, prob)
+            r, pc, _, _, row_ok = local_ba._obs_residuals(cam, T, X, prob,
+                                                          stereo_weight)
             chi2 = local_ba._obs_chi2(r, row_ok, obs_is)
             chi2 = jnp.where(pc[:, 2] <= 0.05, 0.0, chi2)
             rho = chi2 if huber_delta is None else _huber_rho(chi2, huber_delta)
@@ -132,7 +134,7 @@ def distributed_bundle_adjust(mesh: Mesh, cam: cam_mod.CameraParams,
         def body(i, state):
             T, X, lam, cost = state
             U, V, Wb, bp, bl, _ = local_ba.build_ba_blocks(
-                cam, T, X, prob, huber_delta)
+                cam, T, X, prob, huber_delta, stereo_weight)
             # local Schur contributions
             Vinv = jnp.linalg.inv(local_ba.damp_diagonal(V, lam, 3))
             T1 = jnp.einsum("mkij,mjl->mkil", Wb, Vinv,
@@ -209,7 +211,8 @@ def distributed_bundle_adjust_grouped(mesh: Mesh, cam: cam_mod.CameraParams,
                                       huber_delta: float | None = 2.4477,
                                       init_lambda: float = 1e-4,
                                       num_fixed: int = 1,
-                                      fixed_mask: jax.Array | None = None):
+                                      fixed_mask: jax.Array | None = None,
+                                      stereo_weight: float = 1.0):
     """Distributed GROUPED bundle adjustment — the production (scatter-free)
     formulation sharded over the 'lm' axis.
 
@@ -241,8 +244,8 @@ def distributed_bundle_adjust_grouped(mesh: Mesh, cam: cam_mod.CameraParams,
             obs_inv_sigma2=obs_is, obs_valid=obs_va, obs_ur=obs_ur)
 
         def total_cost(T, X):
-            r, pc, _, _, row_ok = local_ba._grouped_residuals(cam, T, X,
-                                                              prob)
+            r, pc, _, _, row_ok = local_ba._grouped_residuals(
+                cam, T, X, prob, stereo_weight)
             chi2 = local_ba._grouped_chi2(r, row_ok, obs_is)
             ok = obs_va & (obs_kf >= 0) & (pc[..., 2] > 0.05)
             rho = chi2 if huber_delta is None else _huber_rho(chi2,
@@ -252,7 +255,8 @@ def distributed_bundle_adjust_grouped(mesh: Mesh, cam: cam_mod.CameraParams,
         def body(i, state):
             T, X, lam, cost = state
             U, V, Wb, bp, bl, _ = local_ba.build_grouped_blocks(
-                cam, T, X, prob._replace(T_cw=T, points=X), huber_delta)
+                cam, T, X, prob._replace(T_cw=T, points=X), huber_delta,
+                stereo_weight)
             Vinv = jnp.linalg.inv(local_ba.damp_diagonal(V, lam, 3))
             T1 = jnp.einsum("mkij,mjl->mkil", Wb, Vinv,
                             precision=jax.lax.Precision.HIGHEST)

@@ -72,11 +72,19 @@ class BAResult(NamedTuple):
     inliers: jax.Array     # (O,) final chi2 gate
 
 
-def _obs_residuals(cam, T_cw, points, p: BAProblem):
+def _obs_residuals(cam, T_cw, points, p: BAProblem,
+                   stereo_weight: float = 1.0):
     """Residuals + per-observation Jacobians for the full batch.
 
     Returns (r (O,R), pc, J (O,R,6), Jl (O,R,3), row_ok (O,R)) with R = 2
-    for mono problems, 3 when stereo rows are present."""
+    for mono problems, 3 when stereo rows are present.
+
+    stereo_weight scales the u_R row's weight relative to the mono rows
+    (applied through row_ok, so chi2/Huber and the normal equations stay
+    consistent). The u_R observation comes from stereo LK, whose disparity
+    noise is larger and more structured than the anchored left-image
+    observations'; weighting it 1.0 lets per-keyframe depth errors drag the
+    window (measured on the bench corridor, tools/diag_ba_gap.py --no-ur)."""
     T_o = T_cw[p.obs_kf]                 # (O, 4, 4)
     X_o = points[p.obs_lm]               # (O, 3)
     R_o = T_o[:, :3, :3]
@@ -98,7 +106,9 @@ def _obs_residuals(cam, T_cw, points, p: BAProblem):
         r = jnp.concatenate([r, r_ur[:, None]], axis=-1)       # (O, 3)
         J = jnp.concatenate([J, J_ur[:, None, :]], axis=1)     # (O, 3, 6)
         row_ok = jnp.concatenate(
-            [row_ok, (p.obs_ur >= 0).astype(r.dtype)[:, None]], axis=-1)
+            [row_ok,
+             stereo_weight * (p.obs_ur >= 0).astype(r.dtype)[:, None]],
+            axis=-1)
     # landmark Jacobian: d row / d X_w = (d row / d pc) . R, and the
     # translation columns of J ARE d row / d pc (left-mult convention)
     Jl = jnp.einsum("oij,ojk->oik", J[:, :, :3], R_o, precision=HI)
@@ -109,11 +119,13 @@ def _obs_chi2(r, row_ok, inv_sigma2):
     return jnp.sum(r * r * row_ok, axis=-1) * inv_sigma2
 
 
-def build_ba_blocks(cam, T_cw, points, p: BAProblem, huber_delta: float | None):
+def build_ba_blocks(cam, T_cw, points, p: BAProblem,
+                    huber_delta: float | None, stereo_weight: float = 1.0):
     """Per-shard block accumulation (the psum unit for distributed BA)."""
     K = T_cw.shape[0]
     M = points.shape[0]
-    r, pc, J, Jl, row_ok = _obs_residuals(cam, T_cw, points, p)
+    r, pc, J, Jl, row_ok = _obs_residuals(cam, T_cw, points, p,
+                                          stereo_weight)
     chi2 = _obs_chi2(r, row_ok, p.obs_inv_sigma2)
     w = p.obs_inv_sigma2 * p.obs_valid * (pc[:, 2] > 0.05)
     if huber_delta is not None:
@@ -225,8 +237,10 @@ class GroupedBAProblem(NamedTuple):
     obs_ur: jax.Array | None = None  # (L, O), -1 = mono
 
 
-def _grouped_residuals(cam, T_cw, points, p: GroupedBAProblem):
-    """(r (L,O,R), pc, J (L,O,R,6), Jl (L,O,R,3), row_ok (L,O,R))."""
+def _grouped_residuals(cam, T_cw, points, p: GroupedBAProblem,
+                       stereo_weight: float = 1.0):
+    """(r (L,O,R), pc, J (L,O,R,6), Jl (L,O,R,3), row_ok (L,O,R)).
+    stereo_weight: see _obs_residuals."""
     K = T_cw.shape[0]
     kf = jnp.clip(p.obs_kf, 0, K - 1)
     T_o = T_cw[kf]                          # (L, O, 4, 4)
@@ -248,7 +262,9 @@ def _grouped_residuals(cam, T_cw, points, p: GroupedBAProblem):
         r = jnp.concatenate([r, r_ur[..., None]], axis=-1)
         J = jnp.concatenate([J, J_ur[..., None, :]], axis=-2)
         row_ok = jnp.concatenate(
-            [row_ok, (p.obs_ur >= 0).astype(r.dtype)[..., None]], axis=-1)
+            [row_ok,
+             stereo_weight * (p.obs_ur >= 0).astype(r.dtype)[..., None]],
+            axis=-1)
     Jl = jnp.einsum("lorj,lojk->lork", J[..., :3], R_o, precision=HI)
     return r, pc, J, Jl, row_ok
 
@@ -258,12 +274,14 @@ def _grouped_chi2(r, row_ok, inv_s2):
 
 
 def build_grouped_blocks(cam, T_cw, points, p: GroupedBAProblem,
-                         huber_delta: float | None):
+                         huber_delta: float | None,
+                         stereo_weight: float = 1.0):
     """Scatter-free block construction: pose-indexed sums go through ONE
     one-hot (L, O, K) contraction; landmark-diagonal sums reduce over the
     local O axis."""
     K = T_cw.shape[0]
-    r, pc, J, Jl, row_ok = _grouped_residuals(cam, T_cw, points, p)
+    r, pc, J, Jl, row_ok = _grouped_residuals(cam, T_cw, points, p,
+                                              stereo_weight)
     chi2 = _grouped_chi2(r, row_ok, p.obs_inv_sigma2)
     ok = p.obs_valid & (p.obs_kf >= 0) & (pc[..., 2] > 0.05)
     w = p.obs_inv_sigma2 * ok
@@ -288,19 +306,21 @@ def build_grouped_blocks(cam, T_cw, points, p: GroupedBAProblem,
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "huber_delta",
-                                             "num_fixed"))
+                                             "num_fixed", "stereo_weight"))
 def bundle_adjust_grouped(cam: cam_mod.CameraParams, p: GroupedBAProblem,
                           iters: int = 10,
                           huber_delta: float | None = 2.4477,
                           init_lambda: float = 1e-4,
                           num_fixed: int = 1,
-                          fixed_mask: jax.Array | None = None):
+                          fixed_mask: jax.Array | None = None,
+                          stereo_weight: float = 1.0):
     """LM loop over the grouped (scatter-free) blocks; same Schur solve.
     fixed_mask ((K,) bool, dynamic) overrides num_fixed — see schur_solve.
     Returns (T_cw (K,4,4), points (L,3))."""
 
     def total_cost(T_cw, points):
-        r, pc, _, _, row_ok = _grouped_residuals(cam, T_cw, points, p)
+        r, pc, _, _, row_ok = _grouped_residuals(cam, T_cw, points, p,
+                                                 stereo_weight)
         chi2 = _grouped_chi2(r, row_ok, p.obs_inv_sigma2)
         ok = p.obs_valid & (p.obs_kf >= 0) & (pc[..., 2] > 0.05)
         rho = chi2 if huber_delta is None else _huber_rho(chi2, huber_delta)
@@ -309,7 +329,8 @@ def bundle_adjust_grouped(cam: cam_mod.CameraParams, p: GroupedBAProblem,
     def body(i, state):
         T_cw, points, lam, cost = state
         U, V, Wb, bp, bl, _ = build_grouped_blocks(cam, T_cw, points, p,
-                                                   huber_delta)
+                                                   huber_delta,
+                                                   stereo_weight)
         dxi, dX = schur_solve(U, V, Wb, bp, bl, lam, num_fixed, fixed_mask)
         T_new = jax.vmap(lambda d, T: se3.compose(se3.exp(d), T))(dxi, T_cw)
         X_new = points + dX
@@ -333,16 +354,19 @@ def bundle_adjust_grouped(cam: cam_mod.CameraParams, p: GroupedBAProblem,
     return jax.vmap(se3.normalize)(T_cw), points
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "huber_delta", "num_fixed"))
+@functools.partial(jax.jit, static_argnames=("iters", "huber_delta",
+                                             "num_fixed", "stereo_weight"))
 def bundle_adjust(cam: cam_mod.CameraParams, problem: BAProblem,
                   iters: int = 10, huber_delta: float | None = 2.4477,
                   init_lambda: float = 1e-4,
-                  num_fixed: int = 1) -> BAResult:
+                  num_fixed: int = 1,
+                  stereo_weight: float = 1.0) -> BAResult:
     """LM loop over Schur-reduced GN steps (the windowed extension of
     LocalBA::PoseOptimization's scheme, sharing its Huber/chi2 constants)."""
 
     def total_cost(T_cw, points):
-        r, pc, _, _, row_ok = _obs_residuals(cam, T_cw, points, problem)
+        r, pc, _, _, row_ok = _obs_residuals(cam, T_cw, points, problem,
+                                             stereo_weight)
         chi2 = _obs_chi2(r, row_ok, problem.obs_inv_sigma2)
         chi2 = jnp.where(pc[:, 2] <= 0.05, 0.0, chi2)
         rho = chi2 if huber_delta is None else _huber_rho(chi2, huber_delta)
@@ -351,7 +375,7 @@ def bundle_adjust(cam: cam_mod.CameraParams, problem: BAProblem,
     def body(i, state):
         T_cw, points, lam, cost = state
         U, V, Wb, bp, bl, _ = build_ba_blocks(cam, T_cw, points, problem,
-                                              huber_delta)
+                                              huber_delta, stereo_weight)
         dxi, dX = schur_solve(U, V, Wb, bp, bl, lam, num_fixed)
         T_new = jax.vmap(lambda d, T: se3.compose(se3.exp(d), T))(dxi, T_cw)
         X_new = points + dX

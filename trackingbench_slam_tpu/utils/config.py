@@ -131,6 +131,19 @@ class SolverConfig:
     # observations and measurably degrades keyframe accuracy (diag r3).
     window_keyframes: int = 5
     max_landmarks: int = 4096
+    # Stereo u_R rows in windowed BA. The u_R observation comes from stereo
+    # LK; measured against GT geometry its error is UNBIASED but heavy-
+    # tailed (|err| mean ~0.6 px, std ~1.2 px vs ~0.2 px for the anchored
+    # left-image observations — tools/diag_ba_gap.py). The per-observation
+    # Huber cannot isolate a bad row (it scales all three rows together),
+    # so: (a) stereo_gate_px drops u_R rows whose residual at the CURRENT
+    # window estimate exceeds the gate (the estimate is mm-accurate, so
+    # the gate kills tails, not signal; 0 disables), and (b) stereo_weight
+    # can down-weight the survivors. Measured on the bench corridor: the
+    # gate alone recovers BA-beats-motion-only (ATE 0.25 vs 0.29 cm) at
+    # full row weight; without it BA was WORSE than tracking (0.33 cm).
+    stereo_weight: float = 1.0
+    stereo_gate_px: float = 1.5
     # LM iterations per live local-BA pass: the grouped solver converges in
     # a handful of accepted steps; 6 keeps the per-keyframe cost ~80 ms
     ba_iters: int = 6
