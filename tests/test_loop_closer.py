@@ -89,3 +89,36 @@ def test_loop_detected_and_corrected():
     end_err_after = np.abs(T_opt[n - 1][0, 3] - gt[n - 1][0, 3])
     assert end_err_after < end_err_before * 0.5, (end_err_before,
                                                  end_err_after)
+
+
+def test_entry_ring_wraps_with_database():
+    """After the database ring wraps, a returned index must name the entry
+    that produced the stored vector — the round-2 stale-index hazard
+    (LoopCloser.entries grew unbounded while BowDatabase wrapped at its
+    capacity)."""
+    cam = cam_mod.CameraParams.from_config(CAMC)
+    rng = np.random.RandomState(3)
+    descs = rng.randint(0, 2 ** 32, size=(10, 16, 8), dtype=np.uint64)
+    descs = descs.astype(np.uint32)
+    voc = bow.train(descs.reshape(-1, 8), branching=4, depth=3, seed=1)
+
+    closer = LoopCloser(voc, cam, capacity=4, exclude_recent=1)
+    valid = jnp.ones((16,), bool)
+    kp = jnp.zeros((16, 2), jnp.float32)
+    midx = np.full((16,), -1, np.int32)
+    pos = np.zeros((1, 3), np.float32)
+    slots = []
+    for i in range(7):
+        T = np.eye(4, dtype=np.float32)
+        T[0, 3] = float(i)  # tag each entry by its pose
+        slots.append(closer.add_keyframe(jnp.asarray(descs[i]), valid, kp,
+                                         midx, pos, T))
+    # 7 adds into a 4-ring: slots cycle 0,1,2,3,0,1,2
+    assert slots == [0, 1, 2, 3, 0, 1, 2]
+    assert closer.num_entries == 4
+    # slot 0 must now describe keyframe 4, not keyframe 0
+    assert closer.entries[0]["T_cw"][0, 3] == 4.0
+    # and the database vector at slot 0 must be keyframe 4's vector
+    words, _ = bow.transform(voc, jnp.asarray(descs[4]), valid)
+    v4 = bow.bow_vector(voc, words, valid)
+    assert np.allclose(np.asarray(closer.db.vectors[0]), np.asarray(v4))

@@ -76,12 +76,16 @@ def test_online_loop_closure_fires_and_corrects(scene):
         else:
             vo.track(scene.render(T))
 
-    assert len(vo.loop_closer.entries) >= 10  # database populated online
+    assert vo.loop_closer.num_entries >= 10  # database populated online
+    # poses() flushes the final keyframe's deferred loop verdict (detection
+    # is asynchronous: the query is issued at the keyframe, the verdict
+    # fetched one frame later — a sequence ending ON a keyframe leaves one
+    # pending, exactly like the last frame of an offline run)
+    P = vo.poses()
     assert len(vo.loop_events) >= 1, "no loop detected on a closed circle"
     # closing error of the corrected trajectory. The VO's world frame is
     # anchored at its first camera; re-express in the GT world by
     # right-multiplying gt[0] before comparing absolute positions.
-    P = vo.poses()
     c_est = np.linalg.inv(P[-1] @ gt[0])[:3, 3]
     c_gt = np.linalg.inv(gt[-1])[:3, 3]
     err = np.linalg.norm(c_est - c_gt)
@@ -109,7 +113,7 @@ def test_relocalization_fires_after_induced_loss(scene):
             vo.track(L, R)
         else:
             vo.track(scene.render(T))
-    assert len(vo.loop_closer.entries) >= 8
+    assert vo.loop_closer.num_entries >= 8
 
     # blind the camera: tracking must be flagged lost
     black = np.zeros((CAM.height, CAM.width), np.float32)

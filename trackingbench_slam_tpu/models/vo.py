@@ -390,7 +390,9 @@ class StereoVO:
         self.lost = False
         self.reloc_events: list = []
         self.loop_events: list = []
-        self._kf_frame_ids: list = []  # trajectory index per LoopCloser entry
+        # trajectory index per LoopCloser ring slot (overwritten on wrap,
+        # in lockstep with the database/entry ring)
+        self._kf_traj_idx: dict = {}
         # host mirror of the device frame counter: the keyframe cadence is
         # pure host logic (test_vo.cpp:772 `i % 10`), so deciding it from a
         # device scalar would cost a blocking device->host round trip per
@@ -422,6 +424,10 @@ class StereoVO:
             self.trajectory.append(self.state.T_cw)
             return self.state
         self._fid += 1
+        if self.loop_closer is not None and self.loop_closer.has_pending:
+            # verdict of the loop query issued at the LAST keyframe; the
+            # async copy has had a full frame to land, so this fetch is free
+            self._finish_loop_detect()
         is_kf = (img_right is not None
                  and self._fid % self.cfg.keyframe_every == 0)
         if is_kf:
@@ -462,22 +468,31 @@ class StereoVO:
     def _on_keyframe(self):
         """Loop-closing hooks for the freshly inserted keyframe: register it
         in the BoW database (the call the round-1 pipeline never made — the
-        database stayed empty, VERDICT row 26), then try to detect + close a
-        loop against the older entries."""
-        import numpy as np
+        database stayed empty, VERDICT row 26) and ISSUE the loop query.
+        Everything here is device math; the top-k verdict is fetched on the
+        next frame (_finish_loop_detect), so loop closing adds no blocking
+        host round-trip to the keyframe path."""
         lc = self.loop_closer
         f = self.state.prev
-        self._kf_frame_ids.append(len(self.trajectory))
-        lc.add_keyframe(f.desc, f.valid, f.kp_xy, f.map_idx,
-                        np.asarray(self.state.map.pos), f.T_cw)
-        loop = lc.detect(f.desc, f.valid, f.kp_xy, f.T_cw)
-        if loop is not None:
-            self._close_loop(loop)
+        kf_node = len(self.trajectory)  # this keyframe's trajectory node
+        slot = lc.register_and_begin(f.desc, f.valid, f.kp_xy, f.map_idx,
+                                     self.state.map.pos, f.T_cw,
+                                     kf_node=kf_node)
+        self._kf_traj_idx[slot] = kf_node
 
-    def _close_loop(self, loop):
+    def _finish_loop_detect(self):
+        """Deferred loop verdict (one frame after the keyframe): fetch the
+        async query result, geometrically verify any candidate above
+        min_score, and apply the correction."""
+        loop, kf_node = self.loop_closer.finish_detect()
+        if loop is not None:
+            self._close_loop(loop, kf_node)
+
+    def _close_loop(self, loop, edge_node: int):
         """Apply an accepted loop online: pose-graph over the trajectory
-        with the loop edge, then scatter the corrections into the keyframe
-        ring, re-anchor landmarks, and adopt the corrected current pose."""
+        with the loop edge (attached at the keyframe node that measured
+        it), then scatter the corrections into the keyframe ring, re-anchor
+        landmarks, and adopt the corrected current pose."""
         import numpy as np
         from trackingbench_slam_tpu.models.loop_closer import (
             apply_loop_correction)
@@ -487,7 +502,8 @@ class StereoVO:
              np.asarray(self.state.T_cw)[None]], axis=0)
         T_opt, _ = self.loop_closer.correct_trajectory(
             T_all, loop, cur_index=cur_index,
-            loop_frame_index=self._kf_frame_ids[loop.kf_index])
+            loop_frame_index=self._kf_traj_idx[loop.kf_index],
+            edge_index=edge_node)
         self.state = apply_loop_correction(
             self.state, jnp.asarray(T_opt, jnp.float32))
         self.trajectory = [jnp.asarray(T, jnp.float32) for T in T_opt[:-1]]
@@ -541,6 +557,8 @@ class StereoVO:
         keyframes. Without it, a mid-run BA correction makes the recorded
         path a patchwork of pre- and post-correction segments."""
         import numpy as np
+        if self.loop_closer is not None and self.loop_closer.has_pending:
+            self._finish_loop_detect()  # flush a verdict issued at the end
         T = np.asarray(jnp.stack(self.trajectory))
         if not refine_with_keyframes or self.state is None:
             return T
