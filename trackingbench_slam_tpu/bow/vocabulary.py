@@ -97,6 +97,18 @@ class Vocabulary:
         return max(self.depth - self.levels_up, 1)
 
 
+# Pytree registration: the descriptor tables are leaves, the tree shape is
+# static aux data — so a Vocabulary can be passed straight into jitted
+# pipeline steps (e.g. the BoW tracking strategy in models/indirect_vo.py).
+jax.tree_util.register_pytree_node(
+    Vocabulary,
+    lambda v: ((v.levels, v.word_weights),
+               (v.branching, v.depth, v.levels_up)),
+    lambda aux, ch: Vocabulary(levels=ch[0], word_weights=ch[1],
+                               branching=aux[0], depth=aux[1],
+                               levels_up=aux[2]))
+
+
 def train(descs: np.ndarray, branching: int = 8, depth: int = 4,
           levels_up: int = 2, kmedians_iters: int = 8,
           seed: int = 0, weight_corpus: np.ndarray | None = None) -> Vocabulary:

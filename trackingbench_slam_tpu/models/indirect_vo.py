@@ -35,6 +35,7 @@ class MatchStrategy(enum.Enum):
     BF = "bf"
     WINDOW = "window"
     PROJECTION = "projection"
+    BOW = "bow"
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "strategy"))
@@ -42,10 +43,16 @@ def indirect_track_step(state: vo_mod.VOState, img: jax.Array,
                         img_right: jax.Array,
                         cam: cam_mod.CameraParams,
                         cfg: PipelineConfig,
-                        strategy: str = "nn") -> vo_mod.VOState:
+                        strategy: str = "nn",
+                        voc=None) -> vo_mod.VOState:
     """One frame of the indirect pipeline (test_vo.cpp:194-285):
     extract -> match vs previous keyframe -> propagate landmarks ->
-    pose optimize -> stereo depth -> new landmarks -> keyframe."""
+    pose optimize -> stereo depth -> new landmarks -> keyframe.
+
+    voc: bow.Vocabulary (a pytree), required for strategy="bow" — the
+    seventh-of-seven interchangeable strategy (searchByBow used for
+    frame-to-frame tracking, the commented alternate at test_vo.cpp:211-213;
+    matcher.cpp:619-721)."""
     f_cur = make_frame(img, cfg.extractor.num_features,
                        cfg.pyramid.num_levels, cfg.pyramid.scale_factor)
     f_cur = extract_orb(f_cur, cam, cfg.extractor, cfg.pyramid)
@@ -62,6 +69,13 @@ def indirect_track_step(state: vo_mod.VOState, img: jax.Array,
                                     prev.valid, cfg.matcher)
     elif strategy == "window":
         res = matchers.search_by_window(f_cur, prev, cfg.matcher)
+    elif strategy == "bow":
+        from trackingbench_slam_tpu.bow import vocabulary as bow
+        _, nodes_cur = bow.transform(voc, f_cur.desc, f_cur.valid)
+        _, nodes_prev = bow.transform(voc, prev.desc, prev.valid)
+        res = matchers.search_by_bow(
+            f_cur.desc, f_cur.valid, nodes_cur, f_cur.kp_angle,
+            prev.desc, prev.valid, nodes_prev, prev.kp_angle, cfg.matcher)
     else:  # projection
         res = matchers.search_by_projection_frame(
             cam, f_cur, prev, state.map.pos, cfg.matcher,
@@ -94,10 +108,15 @@ class IndirectVO:
     """Host driver for the indirect pipeline."""
 
     def __init__(self, cfg: PipelineConfig,
-                 strategy: MatchStrategy = MatchStrategy.NN):
+                 strategy: MatchStrategy = MatchStrategy.NN,
+                 voc=None):
+        if strategy is MatchStrategy.BOW and voc is None:
+            raise ValueError("MatchStrategy.BOW needs a trained "
+                             "bow.Vocabulary (voc=...)")
         self.cfg = cfg
         self.cam = cam_mod.CameraParams.from_config(cfg.camera)
         self.strategy = strategy
+        self.voc = voc
         self.state: Optional[vo_mod.VOState] = None
         self.trajectory: list = []
 
@@ -113,7 +132,7 @@ class IndirectVO:
         else:
             self.state = indirect_track_step(
                 self.state, img_left, img_right, self.cam, self.cfg,
-                strategy=self.strategy.value)
+                strategy=self.strategy.value, voc=self.voc)
         self.trajectory.append(self.state.T_cw)
         return self.state
 
