@@ -114,15 +114,24 @@ class DirectVO:
         p_w = se3.transform_points(se3.inverse(T_cw), p_cam)
 
         if carry_pos_w is not None:
-            # inherit tracked landmarks into this keyframe's free slots at
-            # their aligned pixel positions
+            # inherit tracked landmarks at their aligned pixel positions.
+            # Landmarks OUTRANK fresh corners: free rows are used first,
+            # then plain corner rows are overwritten (a corner's only value
+            # is becoming a seed; a live landmark is the map). Stereo
+            # landmark rows are never overwritten. Restricting the carry to
+            # free rows starved it exactly like _promote (r3).
             p_c = se3.transform_points(T_cw, carry_pos_w)
             keep = (carry_ok & (p_c[:, 2] > 0.05)
                     & cam_mod.is_in_frame(self.cam, carry_px, boundary=8.0))
-            from trackingbench_slam_tpu.models.map import (
-                free_slot_destinations)
             from trackingbench_slam_tpu.ops import packing
-            dest = free_slot_destinations(~f.valid, keep)
+            cap = f.capacity
+            klass = jnp.where(~f.valid, 0, jnp.where(~has_lm, 1, 2))
+            order = jnp.argsort(klass, stable=True)   # free first, corners
+            n_slots = jnp.sum(klass < 2)
+            want_rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
+            take = keep & (want_rank < n_slots)
+            dest = jnp.where(take,
+                             order[jnp.clip(want_rank, 0, cap - 1)], cap)
             xn = (carry_px[:, 0] - self.cam.cx) / self.cam.fx
             yn = (carry_px[:, 1] - self.cam.cy) / self.cam.fy
             brg = jnp.stack([xn, yn, jnp.ones_like(xn)], axis=-1)
@@ -226,7 +235,14 @@ class DirectVO:
         px = cam_mod.world2cam(self.cam, p_c)
         ok = (conv & (p_c[:, 2] > 0.05)
               & cam_mod.is_in_frame(self.cam, px, boundary=8.0))
-        dest = free_slot_destinations(~kf.valid, ok)
+        # destination slots: anything that is not already a landmark. A
+        # valid non-landmark row is a seed corner whose only job was to
+        # initialize its depth-filter seed (the seed batch carries its own
+        # copies) — overwriting it with a converged landmark is strictly an
+        # upgrade. Restricting to ~valid starved promotion entirely once
+        # extraction filled the frame (r3: promotions were counted but
+        # silently dropped, and the landmark set decayed to zero).
+        dest = free_slot_destinations(~self.kf_has_lm, ok)
         (kp_xy, valid, has_lm, depth, kf_pos_w) = packing.scatter_rows_set(
             [kf.kp_xy, kf.valid, self.kf_has_lm, self.kf_depth,
              self.kf_pos_w],
@@ -290,10 +306,22 @@ class DirectVO:
         if self.frame_id % cfg.keyframe_every == 0:
             right = (jnp.asarray(img_right, jnp.float32)
                      if img_right is not None else None)
-            carry_ok = fa.ok & self.kf_has_lm & opt.inliers
+            # carry EVERY still-visible landmark into the new keyframe: at
+            # aligned positions where this frame's alignment succeeded, at
+            # the (pose-optimized) projection otherwise. Requiring fa.ok
+            # alone halved the landmark set at every keyframe (one missed
+            # alignment killed a landmark forever) and DirectVO starved
+            # within a few keyframes on the corridor scene.
+            p_c = se3.transform_points(self.T_cw, self.kf_pos_w)
+            px_proj = cam_mod.world2cam(self.cam, p_c)
+            carry_px = jnp.where((fa.ok & opt.inliers)[:, None],
+                                 fa.px_cur, px_proj)
+            carry_ok = (self.kf_has_lm & (p_c[:, 2] > 0.05)
+                        & cam_mod.is_in_frame(self.cam, carry_px,
+                                              boundary=8.0))
             self._make_keyframe(img_left, right, self.T_cw,
                                 carry_pos_w=self.kf_pos_w,
-                                carry_px=fa.px_cur, carry_ok=carry_ok)
+                                carry_px=carry_px, carry_ok=carry_ok)
         return self.T_cw
 
     def poses(self):

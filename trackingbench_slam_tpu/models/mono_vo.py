@@ -118,6 +118,30 @@ def mono_keyframe_step(state: vo_mod.VOState, kf_lk_pyr, kf_T_cw,
         accept_th=float(cfg.matcher.th_low), use_ratio=False)
     pidx = jnp.clip(proj.idx, 0, M - 1)
     match_ok = proj.ok & m0.valid[pidx]
+    # visibility census + found/visible culling — the same housekeeping as
+    # the stereo keyframe path (vo.keyframe_step; MapPoint::IncreaseVisible
+    # + ORB-SLAM's found-ratio cull). Without it, mono maps only ever grow
+    # or fuse and chronically unmatched landmarks live forever.
+    from trackingbench_slam_tpu.models.frame import is_in_frustum
+    _, _, vis_now, _ = is_in_frustum(f, cam, m0.pos, m0.normal,
+                                     m0.min_dist, m0.max_dist)
+    m0 = map_mod.increase_visible(m0, jnp.arange(M, dtype=jnp.int32),
+                                  vis_now & m0.valid)
+    found_ratio = m0.n_found.astype(jnp.float32) / jnp.maximum(
+        m0.n_visible, 1).astype(jnp.float32)
+    cull = m0.valid & (m0.n_visible >= 8) & (found_ratio < 0.25)
+    m0 = m0._replace(valid=m0.valid & ~cull)
+    match_ok = match_ok & ~cull[pidx]
+    # freed slots can be recycled by add_points later in this very step:
+    # every link into a culled slot must drop NOW (frame + keyframe ring)
+    f = f._replace(map_idx=jnp.where(
+        (f.map_idx >= 0) & cull[jnp.clip(f.map_idx, 0, M - 1)], -1,
+        f.map_idx))
+    kfs_culled = state.kfs._replace(map_idx=jnp.where(
+        (state.kfs.map_idx >= 0)
+        & cull[jnp.clip(state.kfs.map_idx, 0, M - 1)], -1,
+        state.kfs.map_idx))
+    state = state._replace(kfs=kfs_culled)
     link = match_ok & (f.map_idx < 0) & f.valid
     f = f._replace(map_idx=jnp.where(link, pidx, f.map_idx))
     fuse = match_ok & (f.map_idx >= 0) & (pidx != f.map_idx) & ~link
