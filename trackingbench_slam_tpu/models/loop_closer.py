@@ -20,6 +20,7 @@ to its engine:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -32,6 +33,72 @@ from trackingbench_slam_tpu.geometry import se3
 from trackingbench_slam_tpu.matchers import matcher as matchers
 from trackingbench_slam_tpu.solvers import pose_graph, pose_opt
 from trackingbench_slam_tpu.utils.config import MatcherConfig, SolverConfig
+
+
+@functools.partial(jax.jit, static_argnames=("exclude_recent", "top_k"))
+def _register_query_device(voc: bow.Vocabulary, vectors: jax.Array,
+                           slot: jax.Array, used_after: jax.Array,
+                           desc: jax.Array, valid: jax.Array,
+                           exclude_recent: int, top_k: int):
+    """The whole per-keyframe BoW path as ONE device program: tree descent,
+    tf-idf vector, database write, L1 score against every entry, top-k.
+    Eagerly composing these ops costs a ~16 ms tunnel round trip EACH on
+    the remote TPU (the r3 loop bench measured ~1 fps with the eager path);
+    fused it is one dispatch. slot/used_after are traced scalars so the
+    program compiles once."""
+    words, nodes = bow.transform(voc, desc, valid)
+    v = bow.bow_vector(voc, words, valid)
+    vectors = vectors.at[slot].set(v)
+    cap = vectors.shape[0]
+    idxs = jnp.arange(cap)
+    mask = idxs < jnp.minimum(used_after, cap)
+    recent = jnp.mod(used_after - 1 - jnp.arange(exclude_recent), cap)
+    recent_live = jnp.arange(exclude_recent) < used_after
+    hit = (idxs[None, :] == recent[:, None]) & recent_live[:, None]
+    mask = mask & ~jnp.any(hit, axis=0)
+    scores = bow.score_l1(vectors, v[None, :])
+    scores = jnp.where(mask, scores, -1.0)
+    vals, idx = jax.lax.top_k(scores, top_k)
+    return nodes, v, vectors, idx, vals
+
+
+@functools.partial(jax.jit, static_argnames=("mcfg", "scfg"))
+def _verify_candidates_device(cam, desc, valid, nodes, kp_xy,
+                              T_init, c_desc, c_valid, c_nodes,
+                              c_map_idx, c_map_pos, c_T_cw,
+                              mcfg: MatcherConfig, scfg: SolverConfig):
+    """Geometric verification of ALL retrieved candidates as ONE vmapped
+    device program (bucketed BoW match + motion-only pose opt per
+    candidate). The serial per-candidate path cost ~9 tunnel round trips +
+    3 sequential solves per keyframe on a loopy scene; this is one dispatch
+    and one fetch. c_* are stacked (C, ...); T_init is (C, 4, 4) (the
+    current pose for loop closure, the candidate's own pose for reloc).
+
+    Returns (n_bow (C,), n_lm (C,), n_inliers (C,), T_opt (C, 4, 4),
+    T_cur_cand (C, 4, 4))."""
+    zeros = jnp.zeros((desc.shape[0],), jnp.float32)
+
+    def one(cd, cv, cn, cmi, cmp, cT, Ti):
+        res = matchers.search_by_bow(desc, valid, nodes, zeros,
+                                     cd, cv, cn,
+                                     jnp.zeros((cd.shape[0],), jnp.float32),
+                                     mcfg)
+        midx = cmi[jnp.clip(res.idx, 0, cmi.shape[0] - 1)]
+        has = res.ok & (midx >= 0)
+        pts_w = cmp[jnp.clip(midx, 0, cmp.shape[0] - 1)]
+        opt = pose_opt.pose_optimization(
+            cam, Ti, pts_w, kp_xy, jnp.ones_like(zeros), has, scfg)
+        T_cur_cand = se3.compose(opt.T_cw, se3.inverse(cT))
+        counts = jnp.stack([jnp.sum(res.ok).astype(jnp.int32),
+                            jnp.sum(has).astype(jnp.int32),
+                            opt.num_inliers.astype(jnp.int32)])
+        return counts, T_cur_cand
+
+    counts, T_cur_cand = jax.vmap(one)(c_desc, c_valid, c_nodes, c_map_idx,
+                                       c_map_pos, c_T_cw, T_init)
+    # counts packed (C, 3) so the host verdict is ONE scalar-array fetch;
+    # the relative pose is only fetched on acceptance
+    return counts, T_cur_cand
 
 
 @dataclasses.dataclass
@@ -97,17 +164,22 @@ class LoopCloser:
 
     def register_and_begin(self, desc, valid, kp_xy, map_idx, map_pos,
                            T_cw, kf_node: int) -> int:
-        """The live-pipeline entry: one tree descent serves both the
-        database registration and the loop query; the query verdict is
+        """The live-pipeline entry: registration + loop query as ONE fused
+        device dispatch (_register_query_device); the query verdict is
         deferred to finish_detect. kf_node is the trajectory index the
         keyframe occupies (needed to place the loop edge later)."""
-        words, nodes = bow.transform(self.voc, desc, valid)
-        v = bow.bow_vector(self.voc, words, valid)
-        idx = self._register(desc, valid, nodes, v, kp_xy, map_idx,
-                             map_pos, T_cw)
-        if self.db.used > self.exclude_recent:
-            top_idx, scores = self.db.query(
-                v, top_k=3, exclude_recent=self.exclude_recent)
+        slot = self.db.used % self.db.capacity
+        used_after = self.db.used + 1
+        nodes, v, vectors, top_idx, scores = _register_query_device(
+            self.voc, self.db.vectors,
+            jnp.asarray(slot, jnp.int32), jnp.asarray(used_after, jnp.int32),
+            desc, valid, self.exclude_recent, 3)
+        self.db.vectors = vectors
+        self.db.used = used_after
+        self.entries[slot] = dict(
+            desc=desc, valid=valid, nodes=nodes, kp_xy=kp_xy,
+            map_idx=map_idx, map_pos=map_pos, T_cw=T_cw, vec=v)
+        if used_after > self.exclude_recent:
             for a in (top_idx, scores):
                 try:
                     a.copy_to_host_async()
@@ -116,7 +188,7 @@ class LoopCloser:
             self._pending = dict(idx=top_idx, scores=scores, desc=desc,
                                  valid=valid, nodes=nodes, kp_xy=kp_xy,
                                  T_cw=T_cw, kf_node=kf_node)
-        return idx
+        return slot
 
     @property
     def has_pending(self) -> bool:
@@ -155,42 +227,35 @@ class LoopCloser:
         """Geometric verification of retrieved candidates: bucketed BoW
         matching, then motion-only pose optimization on the candidate's
         landmarks; accept on inlier count (LocalBA.cpp:489's return value,
-        finally used)."""
-        for rank in range(len(idx)):
-            kf = int(idx[rank])
-            score = float(scores[rank])
-            if kf < 0 or score < self.min_score:
-                continue
-            cand = self.entries[kf]
-            if cand is None:
-                continue
-            res = matchers.search_by_bow(
-                desc, valid, nodes, jnp.zeros((desc.shape[0],), jnp.float32),
-                cand["desc"], cand["valid"], cand["nodes"],
-                jnp.zeros((cand["desc"].shape[0],), jnp.float32), self.mcfg)
-            ok = np.asarray(res.ok)
-            if ok.sum() < 8:
-                continue
-            # geometric verification: candidate's landmarks at matched
-            # features, observed at the current frame's keypoints
-            midx = np.asarray(cand["map_idx"])[np.asarray(res.idx)]
-            has = ok & (midx >= 0)
-            if has.sum() < 8:
-                continue
-            map_pos = np.asarray(cand["map_pos"])
-            pts_w = jnp.asarray(map_pos[np.clip(midx, 0, None)])
-            T_init = (jnp.asarray(cand["T_cw"]) if init_from_candidate
-                      else jnp.asarray(T_cw_init))
-            opt = pose_opt.pose_optimization(
-                self.cam, T_init, pts_w, kp_xy,
-                jnp.ones((desc.shape[0],), jnp.float32), jnp.asarray(has),
-                self.scfg)
-            n_inl = int(opt.num_inliers)
-            if n_inl >= self.min_inliers:
-                T_cur_kf = np.asarray(se3.compose(
-                    opt.T_cw, se3.inverse(jnp.asarray(cand["T_cw"]))))
-                return LoopCandidate(kf_index=kf, score=score,
-                                     num_inliers=n_inl, T_cur_kf=T_cur_kf)
+        finally used). All candidates verify in one batched device call."""
+        ranks = [r for r in range(len(idx))
+                 if idx[r] >= 0 and scores[r] >= self.min_score
+                 and self.entries[int(idx[r])] is not None]
+        if not ranks:
+            return None
+        cands = [self.entries[int(idx[r])] for r in ranks]
+        stack = lambda key, cast=jnp.asarray: jnp.stack(
+            [cast(c[key]) for c in cands])
+        c_T_cw = jnp.stack([jnp.asarray(np.asarray(c["T_cw"]), jnp.float32)
+                            for c in cands])
+        T_init = (c_T_cw if init_from_candidate else
+                  jnp.broadcast_to(jnp.asarray(np.asarray(T_cw_init),
+                                               jnp.float32),
+                                   c_T_cw.shape))
+        counts, T_cur_cand = _verify_candidates_device(
+            self.cam, desc, valid, nodes, kp_xy, T_init,
+            stack("desc"), stack("valid"), stack("nodes"),
+            jnp.stack([jnp.asarray(np.asarray(c["map_idx"], np.int32))
+                       for c in cands]),
+            stack("map_pos"), c_T_cw, self.mcfg, self.scfg)
+        counts = np.asarray(counts)  # (C, 3): one round trip for the verdict
+        for k, r in enumerate(ranks):
+            n_bow, n_lm, n_inl = counts[k]
+            if n_bow >= 8 and n_lm >= 8 and n_inl >= self.min_inliers:
+                return LoopCandidate(kf_index=int(idx[r]),
+                                     score=float(scores[r]),
+                                     num_inliers=int(n_inl),
+                                     T_cur_kf=np.asarray(T_cur_cand[k]))
         return None
 
     @staticmethod
@@ -222,15 +287,35 @@ class LoopCloser:
         ej.append(lj)
         Tm.append(loop.T_cur_kf)
         w.append(loop_weight)
+        # pad nodes/edges to a 64-bucket so optimize_pose_graph compiles
+        # once per BUCKET, not once per trajectory length (each loop event
+        # otherwise triggers a fresh multi-second remote compile — this,
+        # not the solve, dominated the r3 loop bench). Padding nodes repeat
+        # the last pose with zero-weight invalid edges; results are sliced
+        # back to K.
+        K_pad = -(-K // 64) * 64
+        E = len(ei)
+        E_pad = K_pad  # chain (K-1) + 1 loop edge always fits
+        T_nodes = np.tile(T_cw_all[K - 1][None], (K_pad, 1, 1))
+        T_nodes[:K] = T_cw_all[:K]
+        ei = np.pad(np.asarray(ei, np.int32), (0, E_pad - E))
+        ej = np.pad(np.asarray(ej, np.int32), (0, E_pad - E))
+        Tm = np.concatenate(
+            [np.stack(Tm),
+             np.tile(np.eye(4, dtype=np.float32)[None],
+                     (E_pad - E, 1, 1))])
+        w = np.pad(np.asarray(w, np.float32), (0, E_pad - E))
+        val = np.zeros((E_pad,), bool)
+        val[:E] = True
         g = pose_graph.PoseGraph(
-            T_cw=jnp.asarray(T_cw_all[:K], jnp.float32),
-            edge_i=jnp.asarray(ei, jnp.int32),
-            edge_j=jnp.asarray(ej, jnp.int32),
-            T_meas=jnp.asarray(np.stack(Tm), jnp.float32),
-            weight=jnp.asarray(w, jnp.float32),
-            valid=jnp.ones((len(ei),), bool))
+            T_cw=jnp.asarray(T_nodes, jnp.float32),
+            edge_i=jnp.asarray(ei),
+            edge_j=jnp.asarray(ej),
+            T_meas=jnp.asarray(Tm, jnp.float32),
+            weight=jnp.asarray(w),
+            valid=jnp.asarray(val))
         T_opt, cost = pose_graph.optimize_pose_graph(g, iters=25)
-        return np.asarray(T_opt), float(cost)
+        return np.asarray(T_opt)[:K], float(cost)
 
 
 @jax.jit

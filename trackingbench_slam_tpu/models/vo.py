@@ -504,8 +504,16 @@ class StereoVO:
             T_all, loop, cur_index=cur_index,
             loop_frame_index=self._kf_traj_idx[loop.kf_index],
             edge_index=edge_node)
+        # pad to a 64-bucket so apply_loop_correction compiles once per
+        # bucket instead of once per trajectory length (repeating the last
+        # pose keeps T_new_traj[-1] = the corrected current pose and every
+        # real frame_id indexes below the pad)
+        F = len(T_opt)
+        F_pad = -(-F // 64) * 64
+        T_pad = np.tile(T_opt[-1][None], (F_pad, 1, 1))
+        T_pad[:F] = T_opt
         self.state = apply_loop_correction(
-            self.state, jnp.asarray(T_opt, jnp.float32))
+            self.state, jnp.asarray(T_pad, jnp.float32))
         self.trajectory = [jnp.asarray(T, jnp.float32) for T in T_opt[:-1]]
         self.loop_events.append(self._fid)
 
