@@ -31,6 +31,17 @@ import os
 import sys
 import time
 
+# Wall-clock budget for the whole bench run. The headline metric always
+# prints; optional extras (stage timings, LK microbench, loop-closing bench)
+# are skipped once the budget is nearly spent so a slow/contended machine
+# still yields the JSON line instead of an external timeout kill.
+_BENCH_T0 = time.time()
+_BENCH_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "900"))
+
+
+def _time_left():
+    return _BENCH_BUDGET_S - (time.time() - _BENCH_T0)
+
 
 def build_config():
     from trackingbench_slam_tpu.utils.config import (
@@ -52,28 +63,73 @@ def build_config():
     return cfg, baseline
 
 
+def _cached_frames(tag, build):
+    """Disk-memoize deterministic synthetic renders: host-side rendering is
+    minutes of numpy at KITTI resolution, and the scene is a pure function
+    of its parameters (encode every parameter in `tag`). The cache lives
+    next to this file so a later bench invocation on the same machine skips
+    straight to the device work."""
+    import numpy as np
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_cache")
+    path = os.path.join(d, tag + ".npz")
+    if os.path.exists(path):
+        try:
+            z = np.load(path)
+            L, has_r, R, gt = z["L"], z["has_r"], z["R"], z["gt"]
+            frames, j = [], 0
+            for i in range(L.shape[0]):
+                if has_r[i]:
+                    frames.append((L[i], R[j]))
+                    j += 1
+                else:
+                    frames.append((L[i], None))
+            return frames, gt
+        except Exception as e:
+            print(f"frame cache read failed ({e}); re-rendering",
+                  file=sys.stderr)
+    frames, gt = build()
+    try:
+        os.makedirs(d, exist_ok=True)
+        Ls = np.stack([f[0] for f in frames])
+        has_r = np.array([f[1] is not None for f in frames])
+        Rs = (np.stack([f[1] for f in frames if f[1] is not None])
+              if has_r.any()
+              else np.zeros((0,) + frames[0][0].shape, np.uint8))
+        np.savez(path, L=Ls, has_r=has_r, R=Rs, gt=np.asarray(gt))
+    except Exception as e:
+        print(f"frame cache write failed ({e})", file=sys.stderr)
+    return frames, gt
+
+
 def render_frames(cfg, baseline, n):
     """Corridor sequence: rotation-heavy forward motion, depth 4-40 m."""
     import numpy as np
     from trackingbench_slam_tpu.utils.synthetic import (
         CorridorScene, forward_yaw_trajectory)
-    scene = CorridorScene(cfg.camera, width=10.0, height=5.0)
-    gt = forward_yaw_trajectory(n, step=0.12, yaw_rate=0.01)
 
-    def u8(a):
-        return np.clip(a, 0, 255).astype(np.uint8)
+    def build():
+        scene = CorridorScene(cfg.camera, width=10.0, height=5.0)
+        gt = forward_yaw_trajectory(n, step=0.12, yaw_rate=0.01)
 
-    def needs_right(i):
-        return i == 0 or (i + 1) % cfg.keyframe_every == 0
+        def u8(a):
+            return np.clip(a, 0, 255).astype(np.uint8)
 
-    frames = []
-    for i, T in enumerate(gt):
-        if needs_right(i):
-            L, R = scene.stereo_pair(T, baseline)
-            frames.append((u8(L), u8(R)))
-        else:
-            frames.append((u8(scene.render(T)), None))
-    return frames, gt
+        def needs_right(i):
+            return i == 0 or (i + 1) % cfg.keyframe_every == 0
+
+        frames = []
+        for i, T in enumerate(gt):
+            if needs_right(i):
+                L, R = scene.stereo_pair(T, baseline)
+                frames.append((u8(L), u8(R)))
+            else:
+                frames.append((u8(scene.render(T)), None))
+        return frames, gt
+
+    tag = (f"corridor_n{n}_{cfg.camera.width}x{cfg.camera.height}"
+           f"_b{baseline}_kf{cfg.keyframe_every}_s0.12_y0.01")
+    return _cached_frames(tag, build)
 
 
 def _fence(vo):
@@ -216,7 +272,8 @@ def lk_kernel_microbench():
             [sys.executable,
              os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "benchmarks", "lk_microbench.py"), "--reps", "8"],
-            capture_output=True, text=True, timeout=1500)
+            capture_output=True, text=True,
+            timeout=max(60, min(300, _time_left())))
         for line in r.stdout.splitlines():
             line = line.strip()
             if line.startswith("{"):
@@ -250,23 +307,31 @@ def loop_closing_bench(cfg, baseline, n=96):
     # full circle at ~3.75 deg/frame of yaw (rotation flow ~46 px at this
     # focal length); 3 LK levels + the SE3 motion model carry it
     cfg = dataclasses.replace(cfg, lk_track_levels=3)
-    scene = CorridorScene(cfg.camera, width=10.0, height=5.0)
-    gt = loop_trajectory(n, radius=1.5)
     cam = cam_mod.CameraParams.from_config(cfg.camera)
 
-    def u8(a):
-        return np.clip(a, 0, 255).astype(np.uint8)
+    def build():
+        scene = CorridorScene(cfg.camera, width=10.0, height=5.0)
+        gt = loop_trajectory(n, radius=1.5)
 
-    frames = []
+        def u8(a):
+            return np.clip(a, 0, 255).astype(np.uint8)
+
+        frames = []
+        for i, T in enumerate(gt):
+            if i == 0 or (i + 1) % cfg.keyframe_every == 0:
+                L, R = scene.stereo_pair(T, baseline)
+                frames.append((u8(L), u8(R)))
+            else:
+                frames.append((u8(scene.render(T)), None))
+        return frames, gt
+
+    tag = (f"loop_n{n}_{cfg.camera.width}x{cfg.camera.height}"
+           f"_b{baseline}_kf{cfg.keyframe_every}_r1.5")
+    frames, gt = _cached_frames(tag, build)
+
     descs = []
-    for i, T in enumerate(gt):
-        if i == 0 or (i + 1) % cfg.keyframe_every == 0:
-            L, R = scene.stereo_pair(T, baseline)
-            frames.append((u8(L), u8(R)))
-        else:
-            frames.append((u8(scene.render(T)), None))
-    for T in gt[::12]:
-        f = make_frame(jnp.asarray(scene.render(T), jnp.float32),
+    for i in range(0, len(frames), 12):  # every 12th left image trains BoW
+        f = make_frame(jnp.asarray(frames[i][0], jnp.float32),
                        cfg.extractor.num_features, cfg.pyramid.num_levels,
                        cfg.pyramid.scale_factor)
         f = extract_orb(f, cam, cfg.extractor, cfg.pyramid)
@@ -392,18 +457,25 @@ def main():
              "scene": "corridor+yaw (depth 4-40m)",
              "real_depth_oracle_median_rel_err":
                  round(oracle, 5) if oracle is not None else None}
-    try:
-        extra["stage_ms"] = stage_timings(cfg, frames)
-        print(f"[stages] {extra['stage_ms']}", file=sys.stderr)
-    except Exception as e:
-        print(f"stage timing skipped: {e}", file=sys.stderr)
-    if not args.quick:
-        if dev.platform != "cpu":
-            extra.update(lk_kernel_microbench())
+    if _time_left() > 90:
         try:
-            extra["loop_closing"] = loop_closing_bench(cfg, baseline)
+            extra["stage_ms"] = stage_timings(cfg, frames)
+            print(f"[stages] {extra['stage_ms']}", file=sys.stderr)
         except Exception as e:
-            print(f"loop-closing bench skipped: {e}", file=sys.stderr)
+            print(f"stage timing skipped: {e}", file=sys.stderr)
+    else:
+        print("stage timing skipped: bench budget spent", file=sys.stderr)
+    if not args.quick:
+        if dev.platform != "cpu" and _time_left() > 60:
+            extra.update(lk_kernel_microbench())
+        if _time_left() > 150:
+            try:
+                extra["loop_closing"] = loop_closing_bench(cfg, baseline)
+            except Exception as e:
+                print(f"loop-closing bench skipped: {e}", file=sys.stderr)
+        else:
+            print("loop-closing bench skipped: bench budget spent",
+                  file=sys.stderr)
 
     print(json.dumps({
         "metric": "stereo_vo_frames_per_s_per_chip",
