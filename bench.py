@@ -184,8 +184,16 @@ def time_pipeline(cfg, frames, gt, label):
     return fps, ate
 
 
-def time_cpu_reference(cfg, frames, gt, max_frames=12):
-    """The honest denominator: reference-equivalent torch-CPU loop."""
+def time_cpu_reference(cfg, frames, gt, max_frames=None):
+    """The honest denominator: reference-equivalent torch-CPU loop.
+
+    Runs the SAME frames as the device pipeline by default: ATE grows with
+    trajectory length (drift accumulates), so comparing a 12-frame CPU ATE
+    against a 40-frame device ATE (the r2 bench) overstated the CPU's
+    accuracy by ~3x. At ~3 fps the full 40-frame pass costs ~13 s of bench
+    budget — cheap for an apples-to-apples accuracy denominator."""
+    if max_frames is None:
+        max_frames = len(frames)
     import numpy as np
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "benchmarks"))
@@ -448,8 +456,7 @@ def main():
     if args.skip_cpu_ref:
         fps_cpu, ate_cpu = float("nan"), float("nan")
     else:
-        fps_cpu, ate_cpu = time_cpu_reference(cfg, frames, gt,
-                                              max_frames=min(n, 12))
+        fps_cpu, ate_cpu = time_cpu_reference(cfg, frames, gt)
     oracle = real_data_depth_error()
     extra = {"ate_rmse_m": round(ate, 5), "platform": dev.platform,
              "cpu_reference_fps": round(fps_cpu, 3),

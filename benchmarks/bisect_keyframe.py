@@ -116,7 +116,7 @@ def main():
             accept_th=float(cfg.matcher.th_low), use_ratio=False)
         _, _, vis_now, _ = is_in_frustum(f, cam, m0.pos, m0.normal,
                                          m0.min_dist, m0.max_dist)
-        return proj.idx + vis_now
+        return proj.idx, vis_now
 
     @jax.jit
     def pE(state, right):
