@@ -191,9 +191,16 @@ def time_cpu_reference(cfg, frames, gt, max_frames=None):
     trajectory length (drift accumulates), so comparing a 12-frame CPU ATE
     against a 40-frame device ATE (the r2 bench) overstated the CPU's
     accuracy by ~3x. At ~3 fps the full 40-frame pass costs ~13 s of bench
-    budget — cheap for an apples-to-apples accuracy denominator."""
+    budget — cheap for an apples-to-apples accuracy denominator.
+
+    Bounded by the remaining wall-clock budget (a user-supplied --frames of
+    a few hundred would otherwise spend the whole BENCH_BUDGET_S here,
+    before the extras' budget checks): at a conservative 2 fps estimate the
+    CPU pass may use at most half the remaining budget."""
     if max_frames is None:
-        max_frames = len(frames)
+        cpu_fps_estimate = 2.0
+        budget_cap = max(8, int(_time_left() * 0.5 * cpu_fps_estimate))
+        max_frames = min(len(frames), budget_cap)
     import numpy as np
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "benchmarks"))

@@ -37,8 +37,10 @@ from trackingbench_slam_tpu.utils.config import PipelineConfig
 
 
 class OfflineResult(NamedTuple):
-    T_cw: jax.Array          # (T, 4, 4) per-frame world->camera poses
-    num_inliers: jax.Array   # (T,) post-optimization inlier counts
+    # The scan covers frames 1..T-1; frame 0 (the bootstrap keyframe) is
+    # prepended by OfflineStereoVO.poses(), not present here.
+    T_cw: jax.Array          # (T-1, 4, 4) world->camera poses, frames 1..T-1
+    num_inliers: jax.Array   # (T-1,) post-optimization inlier counts
     state: vo_mod.VOState    # final pipeline state (map, keyframe ring, ...)
 
 
@@ -99,8 +101,8 @@ def offline_run(state: vo_mod.VOState, lefts: jax.Array, rights: jax.Array,
 
 def refine_trajectory(T_traj: np.ndarray, kfs) -> np.ndarray:
     """Re-express each frame's pose relative to its reference keyframe's
-    FINAL (local-BA-corrected) ring pose — identical to StereoVO.poses
-    (models/vo.py:556-587); shared here for offline results."""
+    FINAL (local-BA-corrected) ring pose. The one shared implementation —
+    StereoVO.poses (models/vo.py) delegates here."""
     T = np.asarray(T_traj)
     fid = np.asarray(kfs.frame_id)
     valid = np.asarray(kfs.valid)
@@ -139,15 +141,19 @@ class OfflineStereoVO:
         cfg = self.cfg
         n = len(frames)
         is_kf, right_idx, do_ba = sequence_schedule(cfg, n)
-        # the schedule must agree with which frames actually carry a right
-        # image (frame 0 must; scan keyframes must; extra rights are unused)
+        # Stack ONLY the rights the schedule consumes: frame 0 (bootstrap)
+        # plus each scan keyframe, in schedule order. Datasets where every
+        # frame carries a right image (KITTI/EuRoC recordings) would
+        # otherwise shift right_idx and stereo-match keyframes against the
+        # wrong right image.
         assert frames[0][1] is not None, "frame 0 bootstraps stereo"
+        rights_np = [np.asarray(frames[0][1])]
         for t in range(1, n):
             if is_kf[t - 1]:
                 assert frames[t][1] is not None, f"keyframe {t} has no right"
+                rights_np.append(np.asarray(frames[t][1]))
         lefts = jax.device_put(
             jnp.asarray(np.stack([np.asarray(L) for L, _ in frames[1:]])))
-        rights_np = [np.asarray(R) for _, R in frames if R is not None]
         rights = jax.device_put(jnp.asarray(np.stack(rights_np)))
         first = jnp.asarray(np.asarray(frames[0][0]))
         return (lefts, rights, jnp.asarray(is_kf),

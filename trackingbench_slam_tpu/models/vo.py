@@ -570,18 +570,5 @@ class StereoVO:
         T = np.asarray(jnp.stack(self.trajectory))
         if not refine_with_keyframes or self.state is None:
             return T
-        fid = np.asarray(self.state.kfs.frame_id)
-        valid = np.asarray(self.state.kfs.valid)
-        Tkf = np.asarray(self.state.kfs.T_cw)
-        # ring frame_id f <-> trajectory index max(f-1, 0)
-        final = {max(int(fid[s]) - 1, 0): Tkf[s]
-                 for s in range(len(fid)) if valid[s]}
-        out = T.copy()
-        ref = None
-        for i in range(T.shape[0]):
-            if i in final:
-                ref = i
-                out[i] = final[i]
-            elif ref is not None:
-                out[i] = (T[i] @ np.linalg.inv(T[ref])) @ final[ref]
-        return out
+        from trackingbench_slam_tpu.models.offline import refine_trajectory
+        return refine_trajectory(T, self.state.kfs)
