@@ -30,7 +30,7 @@ def _out_and_back(n=12, step=0.08):
     return np.stack(poses)
 
 
-def test_loop_detected_and_corrected():
+def test_loop_detected_and_corrected(sparse=False):
     cam = cam_mod.CameraParams.from_config(CAMC)
     ecfg = ExtractorConfig(num_features=384, min_threshold=12, cell_size=16)
     pcfg = PyramidConfig(num_levels=3, scale_factor=0.8)
@@ -50,7 +50,7 @@ def test_loop_detected_and_corrected():
                     seed=0)
 
     closer = LoopCloser(voc, cam, min_score=0.02, min_inliers=25,
-                        exclude_recent=4)
+                        exclude_recent=4, sparse=sparse)
     # register all but the last frame as keyframes, with exact landmarks
     # (plane backprojection through the true pose)
     for i in range(n - 1):
@@ -89,6 +89,12 @@ def test_loop_detected_and_corrected():
     end_err_after = np.abs(T_opt[n - 1][0, 3] - gt[n - 1][0, 3])
     assert end_err_after < end_err_before * 0.5, (end_err_before,
                                                  end_err_after)
+
+
+def test_loop_detected_sparse_db():
+    """The sparse-vector database path (auto-selected at ORBvoc scale,
+    forced here) must detect and verify the same loop."""
+    test_loop_detected_and_corrected(sparse=True)
 
 
 def test_entry_ring_wraps_with_database():

@@ -199,3 +199,18 @@ def local_ba_step(state, cam: cam_mod.CameraParams, cfg: PipelineConfig,
     T_cw = se3.normalize(se3.compose(corr, state.T_cw))
     return state._replace(map=m, kfs=kfs, T_cw=T_cw,
                           prev=state.prev._replace(T_cw=T_cw))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_keyframe_ba_step(state, img_left: jax.Array, img_right: jax.Array,
+                           cam: cam_mod.CameraParams, cfg: PipelineConfig):
+    """track + keyframe + windowed BA fused into ONE device program for
+    BA-cadence keyframes. Every unique dispatch over a remote transport
+    costs a ~15-25 ms round trip (measured: a trivial jitted fn on fresh
+    state buffers is ~23 ms wall), so folding the BA stage into the
+    keyframe dispatch removes one such round trip per BA keyframe and lets
+    XLA overlap the stages' device work."""
+    from trackingbench_slam_tpu.models import vo as vo_mod
+    state = vo_mod.track_step(state, img_left, cam, cfg)
+    state = vo_mod.keyframe_step(state, img_right, cam, cfg)
+    return local_ba_step(state, cam, cfg)

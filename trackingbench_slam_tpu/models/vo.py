@@ -431,18 +431,24 @@ class StereoVO:
         is_kf = (img_right is not None
                  and self._fid % self.cfg.keyframe_every == 0)
         if is_kf:
-            self.state = track_and_keyframe_step(
-                self.state, img_left, self._to_device(img_right),
-                self.cam, self.cfg)
             self._kf_count += 1
-            if (self.cfg.local_ba_every > 0
-                    and self._kf_count % self.cfg.local_ba_every == 0):
+            do_ba = (self.cfg.local_ba_every > 0
+                     and self._kf_count % self.cfg.local_ba_every == 0)
+            if do_ba:
                 # local mapping: windowed BA over the keyframe ring
                 # (the g2o BlockSolver_6_3 role, LocalBA.cpp:293-304,
-                # promoted from benchmark prop to live stage)
+                # promoted from benchmark prop to live stage) — fused with
+                # track+keyframe into ONE dispatch (each unique dispatch
+                # over the remote transport costs a ~20 ms round trip)
                 from trackingbench_slam_tpu.models.local_mapping import (
-                    local_ba_step)
-                self.state = local_ba_step(self.state, self.cam, self.cfg)
+                    track_keyframe_ba_step)
+                self.state = track_keyframe_ba_step(
+                    self.state, img_left, self._to_device(img_right),
+                    self.cam, self.cfg)
+            else:
+                self.state = track_and_keyframe_step(
+                    self.state, img_left, self._to_device(img_right),
+                    self.cam, self.cfg)
             if self.loop_closer is not None:
                 self._on_keyframe()
         else:
