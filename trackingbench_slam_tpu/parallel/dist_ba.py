@@ -111,11 +111,25 @@ def distributed_bundle_adjust(mesh: Mesh, cam: cam_mod.CameraParams,
                               num_fixed: int = 1,
                               stereo_weight: float = 1.0):
     """Returns (T_cw (K,4,4), points (D*M_loc,3)). jit-compatible."""
+    fn = _flat_solver(mesh, sp.T_cw.shape[0], iters, huber_delta,
+                      init_lambda, num_fixed, stereo_weight)
+    obs_ur = sp.obs_ur
+    if obs_ur is None:  # mono problem: explicit all-mono stereo column
+        obs_ur = jnp.full(sp.obs_valid.shape, -1.0, jnp.float32)
+    return fn(cam, sp.T_cw, sp.points, sp.obs_kf, sp.obs_lm, sp.obs_px,
+              sp.obs_inv_sigma2, sp.obs_valid, obs_ur)
 
+
+@functools.lru_cache(maxsize=64)
+def _flat_solver(mesh: Mesh, K: int, iters: int, huber_delta, init_lambda,
+                 num_fixed: int, stereo_weight: float):
+    """Build-once jitted shard_map solver. Rebuilding the jit closure per
+    call retraced AND recompiled on every eager invocation (~seconds each
+    on the dryrun/bench paths); the cache keys on the mesh + static solver
+    shape so repeat solves hit the compiled program."""
     lm_axis = "lm"
-    K = sp.T_cw.shape[0]
 
-    def shard_fn(T_cw, points, obs_kf, obs_lm, obs_px, obs_is, obs_va,
+    def shard_fn(cam, T_cw, points, obs_kf, obs_lm, obs_px, obs_is, obs_va,
                  obs_ur):
         prob = local_ba.BAProblem(
             T_cw=T_cw, points=points, obs_kf=obs_kf, obs_lm=obs_lm,
@@ -191,18 +205,13 @@ def distributed_bundle_adjust(mesh: Mesh, cam: cam_mod.CameraParams,
              total_cost(T_cw, points)))
         return jax.vmap(se3.normalize)(T), X
 
-    obs_ur = sp.obs_ur
-    if obs_ur is None:  # mono problem: explicit all-mono stereo column
-        obs_ur = jnp.full(sp.obs_valid.shape, -1.0, jnp.float32)
-    fn = jax.jit(shard_map(
+    return jax.jit(shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P(lm_axis), P(lm_axis), P(lm_axis), P(lm_axis),
+        in_specs=(P(), P(), P(lm_axis), P(lm_axis), P(lm_axis), P(lm_axis),
                   P(lm_axis), P(lm_axis), P(lm_axis)),
         out_specs=(P(), P(lm_axis)),
         check_vma=False,
     ))
-    return fn(sp.T_cw, sp.points, sp.obs_kf, sp.obs_lm, sp.obs_px,
-              sp.obs_inv_sigma2, sp.obs_valid, obs_ur)
 
 
 def distributed_bundle_adjust_grouped(mesh: Mesh, cam: cam_mod.CameraParams,
@@ -229,12 +238,26 @@ def distributed_bundle_adjust_grouped(mesh: Mesh, cam: cam_mod.CameraParams,
     local_ba.schur_solve.
 
     Returns (T_cw (K, 4, 4), points (L, 3))."""
-    lm_axis = "lm"
     K = gp.T_cw.shape[0]
     if fixed_mask is None:
         fixed_mask = jnp.arange(K) < num_fixed
+    fn = _grouped_solver(mesh, K, iters, huber_delta, init_lambda,
+                         stereo_weight)
+    obs_ur = gp.obs_ur
+    if obs_ur is None:  # mono problem: explicit all-mono stereo column
+        obs_ur = jnp.full(gp.obs_valid.shape, -1.0, jnp.float32)
+    return fn(cam, gp.T_cw, gp.points, fixed_mask, gp.obs_kf, gp.obs_px,
+              gp.obs_inv_sigma2, gp.obs_valid, obs_ur)
 
-    def shard_fn(T_cw, points, fixm, obs_kf, obs_px, obs_is, obs_va,
+
+@functools.lru_cache(maxsize=64)
+def _grouped_solver(mesh: Mesh, K: int, iters: int, huber_delta,
+                    init_lambda, stereo_weight: float):
+    """Build-once jitted shard_map solver (see _flat_solver: rebuilding the
+    jit closure per call recompiled on every eager invocation)."""
+    lm_axis = "lm"
+
+    def shard_fn(cam, T_cw, points, fixm, obs_kf, obs_px, obs_is, obs_va,
                  obs_ur):
         free = 1.0 - fixm.astype(jnp.float32)
         kk = jnp.arange(K)[:, None]
@@ -311,15 +334,10 @@ def distributed_bundle_adjust_grouped(mesh: Mesh, cam: cam_mod.CameraParams,
              total_cost(T_cw, points)))
         return jax.vmap(se3.normalize)(T), X
 
-    obs_ur = gp.obs_ur
-    if obs_ur is None:  # mono problem: explicit all-mono stereo column
-        obs_ur = jnp.full(gp.obs_valid.shape, -1.0, jnp.float32)
-    fn = jax.jit(shard_map(
+    return jax.jit(shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P(lm_axis), P(), P(lm_axis), P(lm_axis), P(lm_axis),
-                  P(lm_axis), P(lm_axis)),
+        in_specs=(P(), P(), P(lm_axis), P(), P(lm_axis), P(lm_axis),
+                  P(lm_axis), P(lm_axis), P(lm_axis)),
         out_specs=(P(), P(lm_axis)),
         check_vma=False,
     ))
-    return fn(gp.T_cw, gp.points, fixed_mask, gp.obs_kf, gp.obs_px,
-              gp.obs_inv_sigma2, gp.obs_valid, obs_ur)
