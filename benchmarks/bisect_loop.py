@@ -83,7 +83,7 @@ def main():
         vo.loop_closer = LoopCloser(voc, cam, min_score=0.015,
                                     min_inliers=40, exclude_recent=5)
         lc = vo.loop_closer
-        lc.register_and_begin = timed("register", lc.register_and_begin)
+        lc.register_precomputed = timed("register", lc.register_precomputed)
         lc.finish_detect = timed("finish_detect", lc.finish_detect)
         lc._verify = timed("verify", lc._verify)
         lc.correct_trajectory = timed("correct_traj", lc.correct_trajectory)

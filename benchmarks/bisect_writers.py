@@ -54,19 +54,23 @@ def main():
 
     N = cfg.extractor.num_features
 
+    def ssum(tree):
+        return sum(jnp.sum(x.astype(jnp.float32)) for x in
+                   jax.tree_util.tree_leaves(tree))
+
     @jax.jit
     def p_atlas(state, right):
         f = state.prev
         slots = jnp.arange(f.capacity, dtype=jnp.int32) % state.map.capacity
         m = map_mod.write_anchor_patches(state.map, f.lk_pyr[0], f.kp_xy,
                                          slots, f.valid)
-        return m.anchor_atlas
+        return jnp.sum(m.anchor_atlas)
 
     @jax.jit
     def p_insert(state, right):
         kfs, _ = map_mod.insert_keyframe(state.kfs, state.prev,
                                          state.frame_id)
-        return kfs.desc
+        return ssum(kfs)
 
     @jax.jit
     def p_addpoints(state, right):
@@ -77,7 +81,7 @@ def main():
         m, slots = map_mod.add_points(
             m, p_w, f.desc, p_w, p_w[:, 0], p_w[:, 0],
             jnp.zeros((f.capacity,), jnp.int32), f.kp_level, want)
-        return m.pos, slots
+        return ssum(m) + jnp.sum(slots)
 
     @jax.jit
     def p_addobs(state, right):
@@ -86,25 +90,25 @@ def main():
         m = map_mod.add_observations(
             state.map, jnp.clip(f.map_idx, 0, state.map.capacity - 1),
             jnp.asarray(0, jnp.int32), feat_idx, f.valid)
-        return m.obs_kf
+        return jnp.sum(m.obs_kf) + jnp.sum(m.obs_feat)
 
     @jax.jit
     def p_purge(state, right):
         m = map_mod.purge_kf_slot(state.map, jnp.asarray(1, jnp.int32),
                                   jnp.asarray(True))
-        return m.obs_kf
+        return jnp.sum(m.obs_kf) + jnp.sum(m.obs_feat)
 
     @jax.jit
     def p_unad(state, right):
         m = map_mod.update_normal_and_depth(
             state.map, state.kfs, cfg.pyramid.scale_factor,
             cfg.pyramid.num_levels)
-        return m.normal
+        return jnp.sum(m.normal) + jnp.sum(m.max_dist)
 
     @jax.jit
     def p_cdd(state, right):
         m = map_mod.compute_distinctive_descriptors(state.map, state.kfs)
-        return m.desc
+        return jnp.sum(m.desc.astype(jnp.float32))
 
     probe("write_anchor_patches (2000 cells)", p_atlas, args, base)
     probe("insert_keyframe", p_insert, args, base)
@@ -113,8 +117,8 @@ def main():
     probe("purge_kf_slot", p_purge, args, base)
     probe("update_normal_and_depth", p_unad, args, base)
     probe("compute_distinctive_descriptors", p_cdd, args, base)
-    probe("FULL keyframe_step", vo.keyframe_step,
-          [(s, r, cam, cfg) for s, r in args], base)
+    full = jax.jit(lambda s, r: ssum(vo.keyframe_step(s, r, cam, cfg)))
+    probe("FULL keyframe_step (ssum)", full, args, base)
 
 
 if __name__ == "__main__":

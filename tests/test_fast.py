@@ -94,3 +94,37 @@ def test_grid_topk_empty():
     score = jnp.zeros((64, 64), jnp.float32)
     xy, resp, valid = fast_ops.grid_topk(score, cell=16, per_cell=2, budget=10)
     assert not np.asarray(valid).any()
+
+
+def test_grid_topk_two_threshold_gating():
+    """Two-threshold fallback semantics (ORBextractor.cpp:765-804): a cell
+    with a strong corner drops its weak corners; a cell with only weak
+    corners keeps them."""
+    import numpy as np
+    import jax.numpy as jnp
+    from trackingbench_slam_tpu.ops import fast as fast_ops
+
+    score = np.zeros((16, 32), np.float32)
+    strong = np.zeros((16, 32), bool)
+    # cell (0, 0) [16x16]: one strong corner + one weak corner
+    score[4, 4] = 100.0
+    strong[4, 4] = True
+    score[10, 10] = 50.0           # weak: must be gated out
+    # cell (0, 1): only weak corners
+    score[4, 20] = 30.0            # weak: must survive
+    score[12, 28] = 20.0           # weak: must survive
+    xy, resp, valid = fast_ops.grid_topk(
+        jnp.asarray(score), cell=16, per_cell=4, budget=8,
+        strong=jnp.asarray(strong))
+    got = {(int(x), int(y)) for (x, y), v in
+           zip(np.asarray(xy), np.asarray(valid)) if v}
+    assert (4, 4) in got
+    assert (10, 10) not in got     # gated by the strong corner in its cell
+    assert (20, 4) in got
+    assert (28, 12) in got
+    # without the strong mask the weak corner survives
+    xy2, _, valid2 = fast_ops.grid_topk(jnp.asarray(score), cell=16,
+                                        per_cell=4, budget=8)
+    got2 = {(int(x), int(y)) for (x, y), v in
+            zip(np.asarray(xy2), np.asarray(valid2)) if v}
+    assert (10, 10) in got2

@@ -15,10 +15,11 @@ Design deltas from the reference, by intent:
   * Per-level feature budget follows the same geometric split over scales
     (ORBextractor.cpp:919-930).
   * The two-threshold fallback (cell retried with threshold 30 when 80 finds
-    nothing, ORBextractor.cpp:765-804) is replaced by detecting once at the
-    *low* threshold and letting per-cell top-k ranking keep the strong
-    corners: identical outcome (weak corners only surface in cells with no
-    strong ones) without the data-dependent second pass.
+    nothing, ORBextractor.cpp:765-804) runs as two static detection passes:
+    the min_threshold score map supplies candidates, the init_threshold
+    detection mask gates weak corners out of cells that hold a strong one
+    (fast_ops.grid_topk's `strong` argument) — same semantics, no
+    data-dependent second pass.
   * DistributeOctTree's sequential quad-tree (ORBextractor.cpp:494-733) is
     replaced by per-cell top-k (the FASTextractor grid strategy,
     FASTextractor.cpp:18-25) — static shapes, same uniformity goal.
@@ -102,13 +103,21 @@ def extract_orb(frame: FrameState, cam: cam_mod.CameraParams,
         s = pyr_cfg.scale_factor ** lvl
         score = detect_scores(img, float(config.min_threshold),
                               config.fast_arc)
+        # two-threshold fallback (ORBextractor.cpp:765-804): corners that
+        # survive detection at init_threshold gate out the weak ones in
+        # their cell; cells with none keep their min_threshold corners
+        strong = None
+        if config.init_threshold > config.min_threshold:
+            strong = detect_scores(img, float(config.init_threshold),
+                                   config.fast_arc) > 0
         if suppress_xy is not None:
             m = occupancy_mask(img.shape, suppress_xy * s, suppress_valid,
                                max(int(10 * s), 2))
             score = score * m
         cell = max(int(config.cell_size * s), 8)
         xy, resp, valid = fast_ops.grid_topk(score, cell, per_cell=4,
-                                             budget=budgets[lvl])
+                                             budget=budgets[lvl],
+                                             strong=strong)
         # 7x7 descriptor blur (ORBextractor.cpp:884,960) computed here on
         # demand: only keyframes run extraction, so tracking frames never
         # pay for it (make_frame does not blur)

@@ -125,6 +125,43 @@ def _verify_candidates_device(cam, desc, valid, nodes, kp_xy,
     return counts, T_cur_cand
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "do_ba",
+                                              "exclude_recent", "top_k",
+                                              "sparse"))
+def track_keyframe_register_step(state, img_left, img_right, cam, cfg,
+                                 voc: bow.Vocabulary, db_a: jax.Array,
+                                 db_b: jax.Array | None, slot: jax.Array,
+                                 used_after: jax.Array, do_ba: bool,
+                                 exclude_recent: int, top_k: int,
+                                 sparse: bool):
+    """track + keyframe (+ BA) + BoW register/query as ONE device program.
+
+    With a LoopCloser attached, the r3 pipeline issued a SECOND dispatch
+    per keyframe for _register_query_device; each unique dispatch over the
+    remote transport costs ~20 ms (measured), which alone accounts for a
+    large slice of the loop bench's with-closer slowdown. db_a/db_b are
+    the database tables (dense: vectors/None; sparse: words/weights).
+
+    Returns (state, nodes, vec_parts, new_db_a, new_db_b, top_idx,
+    scores)."""
+    from trackingbench_slam_tpu.models import vo as vo_mod
+    from trackingbench_slam_tpu.models.local_mapping import local_ba_step
+    state = vo_mod.track_step(state, img_left, cam, cfg)
+    state = vo_mod.keyframe_step(state, img_right, cam, cfg)
+    if do_ba:
+        state = local_ba_step(state, cam, cfg)
+    f = state.prev
+    if sparse:
+        nodes, v, dba, dbb, idx, vals = _register_query_device_sparse(
+            voc, db_a, db_b, slot, used_after, f.desc, f.valid,
+            exclude_recent, top_k)
+        return state, nodes, v, dba, dbb, idx, vals
+    nodes, v, vectors, idx, vals = _register_query_device(
+        voc, db_a, slot, used_after, f.desc, f.valid, exclude_recent,
+        top_k)
+    return state, nodes, v, vectors, None, idx, vals
+
+
 @dataclasses.dataclass
 class LoopCandidate:
     kf_index: int          # database / keyframe index of the loop partner
@@ -239,6 +276,44 @@ class LoopCloser:
         self.entries[slot] = dict(
             desc=desc, valid=valid, nodes=nodes, kp_xy=kp_xy,
             map_idx=map_idx, map_pos=map_pos, T_cw=T_cw, vec=v)
+        if used_after > self.exclude_recent:
+            for a in (top_idx, scores):
+                try:
+                    a.copy_to_host_async()
+                except Exception:
+                    pass
+            self._pending = dict(idx=top_idx, scores=scores, desc=desc,
+                                 valid=valid, nodes=nodes, kp_xy=kp_xy,
+                                 T_cw=T_cw, kf_node=kf_node)
+        return slot
+
+    def begin_slot(self, width: int):
+        """(slot, used_after) for a fused-dispatch registration (the
+        scalars track_keyframe_register_step needs up front)."""
+        self._ensure_db(width)
+        return self.db.used % self.db.capacity, self.db.used + 1
+
+    def db_tables(self):
+        """(db_a, db_b) device tables for the fused dispatch."""
+        if self.sparse:
+            return self.db.words, self.db.weights
+        return self.db.vectors, None
+
+    def register_precomputed(self, slot: int, used_after: int, nodes, vec,
+                             db_a, db_b, top_idx, scores, desc, valid,
+                             kp_xy, map_idx, map_pos, T_cw, kf_node: int):
+        """Absorb the outputs of track_keyframe_register_step: update the
+        database tables, snapshot the entry ring, and stage the deferred
+        query verdict — identical side effects to register_and_begin, but
+        the device math already ran inside the keyframe dispatch."""
+        if self.sparse:
+            self.db.words, self.db.weights = db_a, db_b
+        else:
+            self.db.vectors = db_a
+        self.db.used = used_after
+        self.entries[slot] = dict(
+            desc=desc, valid=valid, nodes=nodes, kp_xy=kp_xy,
+            map_idx=map_idx, map_pos=map_pos, T_cw=T_cw, vec=vec)
         if used_after > self.exclude_recent:
             for a in (top_idx, scores):
                 try:

@@ -101,9 +101,16 @@ def atlas_cell_centers(slots: jax.Array, grid: int) -> jax.Array:
 def write_anchor_patches(m: MapState, img: jax.Array, kp_xy: jax.Array,
                          slots: jax.Array, want: jax.Array) -> MapState:
     """Capture ATLAS_CELL^2 patches around kp_xy (bilinear, so the cell
-    center lands EXACTLY on the feature position) and scatter them into the
+    center lands EXACTLY on the feature position) and write them into the
     atlas cells of `slots`. Call right after add_points with its returned
-    slots; want masks rows (dropped rows scatter nowhere)."""
+    slots; want masks rows (dropped rows write nowhere).
+
+    The write is a one-hot MXU matmul + masked blend, not a scatter: the
+    elementwise (B, c, c)-cell scatter into the (g*c, g*c) atlas serialized
+    on TPU at ~300 ms per keyframe (measured, benchmarks/bisect_writers.py)
+    — the single largest cost in the whole keyframe step. slots are unique
+    (add_points allocates distinct free slots), so sum-of-one-hots equals
+    the scattered value."""
     c = ATLAS_CELL
     g = m.atlas_grid
     h, w = img.shape
@@ -123,15 +130,23 @@ def write_anchor_patches(m: MapState, img: jax.Array, kp_xy: jax.Array,
     v11 = img[y0i + 1, x0i + 1]
     patches = ((1 - fy) * ((1 - fx) * v00 + fx * v01)
                + fy * ((1 - fx) * v10 + fx * v11))   # (B, c, c)
-    A = g * c
+    B = patches.shape[0]
+    G2 = g * g
     slot_ok = want & (slots >= 0) & (slots < m.capacity)
-    s = jnp.where(slot_ok, slots, m.capacity)
-    r0 = (s // g) * c
-    c0 = (s % g) * c
-    rows = r0[:, None, None] + jnp.arange(c)[None, :, None]
-    cols = c0[:, None, None] + jnp.arange(c)[None, None, :]
-    rows = jnp.where(slot_ok[:, None, None], rows, A)  # drop out of range
-    atlas = m.anchor_atlas.at[rows, cols].set(patches, mode="drop")
+    s = jnp.where(slot_ok, slots, G2)
+    onehot = jax.nn.one_hot(s, G2, dtype=patches.dtype)     # (B, G2)
+    # (G2, c*c) = onehot^T @ patches — pixel values compared by the
+    # anchored aligner, so keep full f32 (bf16 MXU rounding shifts the
+    # photometric template by up to ~1 intensity LSB)
+    new_cells = jax.lax.dot_general(
+        onehot, patches.reshape(B, c * c), (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)                # (G2, c*c)
+    written = jnp.sum(onehot, axis=0) > 0                   # (G2,)
+    cur = m.anchor_atlas.reshape(g, c, g, c).transpose(0, 2, 1, 3
+                                                       ).reshape(G2, c * c)
+    out = jnp.where(written[:, None], new_cells, cur)
+    atlas = out.reshape(g, g, c, c).transpose(0, 2, 1, 3).reshape(g * c,
+                                                                  g * c)
     return m._replace(anchor_atlas=atlas)
 
 

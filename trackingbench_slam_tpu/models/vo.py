@@ -434,12 +434,15 @@ class StereoVO:
             self._kf_count += 1
             do_ba = (self.cfg.local_ba_every > 0
                      and self._kf_count % self.cfg.local_ba_every == 0)
-            if do_ba:
-                # local mapping: windowed BA over the keyframe ring
-                # (the g2o BlockSolver_6_3 role, LocalBA.cpp:293-304,
-                # promoted from benchmark prop to live stage) — fused with
-                # track+keyframe into ONE dispatch (each unique dispatch
-                # over the remote transport costs a ~20 ms round trip)
+            # Everything the keyframe needs — tracking, keyframe insertion,
+            # windowed BA (the g2o BlockSolver_6_3 role, LocalBA.cpp:293-304,
+            # promoted from benchmark prop to live stage), and the
+            # LoopCloser's BoW register+query — runs as ONE device program:
+            # each unique dispatch over the remote transport costs a ~20 ms
+            # round trip, so stages fuse into the keyframe dispatch.
+            if self.loop_closer is not None:
+                self._track_keyframe_with_loop(img_left, img_right, do_ba)
+            elif do_ba:
                 from trackingbench_slam_tpu.models.local_mapping import (
                     track_keyframe_ba_step)
                 self.state = track_keyframe_ba_step(
@@ -449,8 +452,6 @@ class StereoVO:
                 self.state = track_and_keyframe_step(
                     self.state, img_left, self._to_device(img_right),
                     self.cam, self.cfg)
-            if self.loop_closer is not None:
-                self._on_keyframe()
         else:
             self.state = track_step(self.state, img_left, self.cam, self.cfg)
         # Tracking-loss check, one frame LATE by design: the inlier count is
@@ -471,19 +472,33 @@ class StereoVO:
         self.trajectory.append(self.state.T_cw)
         return self.state
 
-    def _on_keyframe(self):
-        """Loop-closing hooks for the freshly inserted keyframe: register it
-        in the BoW database (the call the round-1 pipeline never made — the
-        database stayed empty, VERDICT row 26) and ISSUE the loop query.
-        Everything here is device math; the top-k verdict is fetched on the
-        next frame (_finish_loop_detect), so loop closing adds no blocking
-        host round-trip to the keyframe path."""
+    def _track_keyframe_with_loop(self, img_left, img_right, do_ba: bool):
+        """Keyframe path with a LoopCloser attached: track + keyframe
+        (+ BA) + BoW register/query fused into ONE dispatch
+        (loop_closer.track_keyframe_register_step); the query verdict is
+        fetched one frame later (_finish_loop_detect), so loop closing adds
+        no blocking host round-trip to the keyframe path. Registration in
+        the BoW database is the call the round-1 pipeline never made — the
+        database stayed empty, VERDICT r1 row 26."""
+        import jax.numpy as _jnp
+        from trackingbench_slam_tpu.models.loop_closer import (
+            track_keyframe_register_step)
         lc = self.loop_closer
-        f = self.state.prev
         kf_node = len(self.trajectory)  # this keyframe's trajectory node
-        slot = lc.register_and_begin(f.desc, f.valid, f.kp_xy, f.map_idx,
-                                     self.state.map.pos, f.T_cw,
-                                     kf_node=kf_node)
+        slot, used_after = lc.begin_slot(self.state.prev.capacity)
+        db_a, db_b = lc.db_tables()
+        (self.state, nodes, vec, new_a, new_b, top_idx, scores) = (
+            track_keyframe_register_step(
+                self.state, img_left, self._to_device(img_right),
+                self.cam, self.cfg, lc.voc, db_a, db_b,
+                _jnp.asarray(slot, _jnp.int32),
+                _jnp.asarray(used_after, _jnp.int32),
+                do_ba, lc.exclude_recent, 3, lc.sparse))
+        f = self.state.prev
+        lc.register_precomputed(slot, used_after, nodes, vec, new_a, new_b,
+                                top_idx, scores, f.desc, f.valid, f.kp_xy,
+                                f.map_idx, self.state.map.pos, f.T_cw,
+                                kf_node=kf_node)
         self._kf_traj_idx[slot] = kf_node
 
     def _finish_loop_detect(self):

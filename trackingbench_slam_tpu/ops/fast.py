@@ -141,7 +141,7 @@ def shi_tomasi_map(img: jax.Array, half: int = 4) -> jax.Array:
 
 
 def grid_topk(score: jax.Array, cell: int, per_cell: int, budget: int,
-              min_score: float = 1e-6):
+              min_score: float = 1e-6, strong: jax.Array | None = None):
     """Spatially-uniform keypoint selection with static shapes.
 
     Replaces the data-dependent quad-tree DistributeOctTree
@@ -150,6 +150,12 @@ def grid_topk(score: jax.Array, cell: int, per_cell: int, budget: int,
     top `per_cell` responses per cell, then a global top-`budget` over cell
     winners. Returns (xy (budget, 2) float32, resp (budget,), valid (budget,)).
     Score map is expected to be already NMS'd.
+
+    strong ((H, W) bool, optional) implements the reference's two-threshold
+    fallback (ORBextractor.cpp:765-804: cv::FAST at iniThFAST per cell,
+    retried at minThFAST only when empty): in a cell containing ANY strong
+    corner, weak (non-strong) corners are ineligible; cells with no strong
+    corner keep their weak ones.
     """
     h, w = score.shape
     ph = (cell - h % cell) % cell
@@ -157,7 +163,21 @@ def grid_topk(score: jax.Array, cell: int, per_cell: int, budget: int,
     s = jnp.pad(score, ((0, ph), (0, pw)))
     H, W = h + ph, w + pw
     ncy, ncx = H // cell, W // cell
-    cells = s.reshape(ncy, cell, ncx, cell).transpose(0, 2, 1, 3).reshape(ncy * ncx, cell * cell)
+
+    def to_cells(x):
+        return x.reshape(ncy, cell, ncx, cell).transpose(0, 2, 1, 3
+                                                         ).reshape(
+            ncy * ncx, cell * cell)
+
+    if strong is not None:
+        st = to_cells(jnp.pad(strong, ((0, ph), (0, pw))))
+        cell_has_strong = jnp.any(st & (to_cells(s) > min_score), axis=1,
+                                  keepdims=True)
+        eligible = st | ~cell_has_strong
+        s2 = jnp.where(eligible, to_cells(s), 0.0)
+        cells = s2
+    else:
+        cells = to_cells(s)
     vals, idx = jax.lax.top_k(cells, per_cell)  # (ncells, per_cell)
     cy = jnp.arange(ncy * ncx) // ncx
     cx = jnp.arange(ncy * ncx) % ncx

@@ -72,6 +72,10 @@ class ExtractorConfig:
     """
 
     num_features: int = 2000
+    # two-threshold fallback (ORBextractor.cpp:765-804): cells holding a
+    # corner that survives detection at init_threshold drop their weaker
+    # (>= min_threshold only) corners; cells with none keep the weak ones.
+    # Set init_threshold <= min_threshold to disable the second pass.
     init_threshold: int = 40
     min_threshold: int = 7
     cell_size: int = 32  # occupancy-grid cell in pixels at level 0
