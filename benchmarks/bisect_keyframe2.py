@@ -70,6 +70,10 @@ def main():
     args = list(zip(sts, rights))
     base = probe("launch overhead (trivial)", trivial, args)
 
+    def ssum(*trees):
+        return sum(jnp.sum(x.astype(jnp.float32)) for t in trees
+                   for x in jax.tree_util.tree_leaves(t))
+
     def kf_prefix(state, img_right, stop: str):
         """keyframe_step body with an early exit after the named stage.
         Mirrors models/vo.py keyframe_step exactly."""
@@ -87,12 +91,12 @@ def main():
         f = with_keypoints(f, cam, new_xy, f.kp_level, f.kp_angle,
                            f.kp_response, f.desc, f.valid)
         if stop == "anchor":
-            return f.kp_xy
+            return ssum(f)
 
         fresh = extract_orb(f, cam, cfg.extractor, cfg.pyramid,
                             suppress_xy=f.kp_xy, suppress_valid=f.valid)
         if stop == "extract":
-            return fresh.kp_xy
+            return ssum(f, fresh)
         dest = map_mod.free_slot_destinations(~f.valid, fresh.valid)
         (kp_xy, kp_level, kp_angle, kp_response, desc, bearing, map_idx,
          valid) = packing.scatter_rows_set(
@@ -107,7 +111,7 @@ def main():
                        kp_response=kp_response, desc=desc, bearing=bearing,
                        map_idx=map_idx, valid=valid)
         if stop == "merge":
-            return f.kp_xy
+            return ssum(f)
 
         right = make_frame(img_right, 1, cfg.pyramid.num_levels,
                            cfg.pyramid.scale_factor, blur=False)
@@ -139,7 +143,7 @@ def main():
         depth_ok = (f.valid & lk.converged & fb_ok & disp_ok & row_ok
                     & (depth > 0.1) & (depth < 400.0))
         if stop == "stereo":
-            return depth
+            return ssum(f, depth, depth_ok, lk.xy)
 
         p_cam = tri.backproject(cam.fx, cam.fy, cam.cx, cam.cy, f.kp_xy,
                                 depth)
@@ -186,7 +190,7 @@ def main():
             redirect[jnp.clip(kfs0.map_idx, 0, M - 1)], kfs0.map_idx))
         state = state._replace(map=m0, kfs=kfs0)
         if stop == "fuse":
-            return f.map_idx
+            return ssum(f, state, depth, depth_ok, lk.xy)
 
         want = depth_ok & (f.map_idx < 0)
         cam_center = T_wc[:3, 3]
@@ -216,13 +220,13 @@ def main():
         kfs, _ = map_mod.insert_keyframe(state.kfs, f, state.frame_id,
                                          slot=kf_slot, kp_ur=kp_ur)
         if stop == "insert":
-            return kfs.frame_id
+            return ssum(f, state, m, kfs)
 
         m = map_mod.update_normal_and_depth(m, kfs,
                                             cfg.pyramid.scale_factor,
                                             cfg.pyramid.num_levels)
         m = map_mod.compute_distinctive_descriptors(m, kfs)
-        return m.normal
+        return ssum(f, state, m, kfs)
 
     stops = ["anchor", "extract", "merge", "stereo", "fuse", "insert",
              "full"]
