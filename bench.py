@@ -636,11 +636,14 @@ def main():
             print("loop-closing bench skipped: bench budget spent",
                   file=sys.stderr)
         for name, fn in (
+                # offline scan compiles the whole-sequence program (minutes
+                # over a remote tunnel on first run) — needs real headroom
                 ("offline_scan", lambda: offline_scan_bench(cfg, frames)),
                 ("dp_eval", lambda: dp_eval_bench(cfg, frames)),
                 ("ba_scaling", ba_scaling_bench),
         ):
-            if _time_left() > 120:
+            need = 300 if name == "offline_scan" else 120
+            if _time_left() > need:
                 try:
                     extra[name] = fn()
                     print(f"[{name}] {extra[name]}", file=sys.stderr)

@@ -4,6 +4,7 @@ import glob
 import os
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from trackingbench_slam_tpu.models.vo import StereoVO, init_state
@@ -23,6 +24,7 @@ def _short_seq(n=8):
     return cfg, gt, frames
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     cfg, gt, frames = _short_seq(6)
     vo = StereoVO(cfg)

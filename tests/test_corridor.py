@@ -11,8 +11,11 @@ import pytest
 from trackingbench_slam_tpu.utils.config import (
     CameraConfig, ExtractorConfig, MapConfig, PipelineConfig, PyramidConfig)
 from trackingbench_slam_tpu.utils.synthetic import (
+
     CorridorScene, forward_yaw_trajectory, loop_trajectory)
 
+
+pytestmark = pytest.mark.slow  # minutes-long e2e on CPU
 
 BASELINE = 0.3
 

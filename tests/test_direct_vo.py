@@ -9,6 +9,8 @@ from tests.test_vo import small_config, BASELINE_M, DEPTH
 from trackingbench_slam_tpu.utils.synthetic import PlaneSequence, lateral_trajectory
 
 
+pytestmark = pytest.mark.slow  # minutes-long e2e on CPU
+
 def test_direct_vo_tracks_sequence():
     cfg = small_config()
     seq = PlaneSequence(cfg.camera, depth=DEPTH)

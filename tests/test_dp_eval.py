@@ -21,6 +21,7 @@ B = 8
 
 
 @pytest.mark.skipif(len(jax.devices()) < B, reason="needs 8 devices")
+@pytest.mark.slow
 def test_dp_batched_tracking_matches_serial():
     camc = CameraConfig(width=256, height=192, fx=220, fy=220, cx=128,
                         cy=96, bf=220 * 0.25)

@@ -10,6 +10,8 @@ from tests.test_vo import small_config, BASELINE_M, DEPTH
 from trackingbench_slam_tpu.utils.synthetic import PlaneSequence, lateral_trajectory
 
 
+pytestmark = pytest.mark.slow  # minutes-long e2e on CPU
+
 @pytest.fixture(scope="module")
 def sequence():
     cfg = small_config()

@@ -3,6 +3,7 @@ plane; the revisit frame must retrieve the early keyframe, verify
 geometrically, and the pose graph must remove injected drift."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from trackingbench_slam_tpu.bow import vocabulary as bow
@@ -30,6 +31,7 @@ def _out_and_back(n=12, step=0.08):
     return np.stack(poses)
 
 
+@pytest.mark.slow
 def test_loop_detected_and_corrected(sparse=False):
     cam = cam_mod.CameraParams.from_config(CAMC)
     ecfg = ExtractorConfig(num_features=384, min_threshold=12, cell_size=16)

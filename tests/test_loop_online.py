@@ -16,6 +16,8 @@ from trackingbench_slam_tpu.utils.config import (
 from trackingbench_slam_tpu.utils.synthetic import (
     CorridorScene, forward_yaw_trajectory, loop_trajectory)
 
+pytestmark = pytest.mark.slow  # minutes-long e2e on CPU
+
 BASELINE = 0.25
 CAM = CameraConfig(width=512, height=384, fx=400, fy=400, cx=256, cy=192,
                    bf=400 * BASELINE)

@@ -3,6 +3,7 @@ purging, and duplicate fusion — the functions round 1 implemented but never
 called from a pipeline (VERDICT items 4/5)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -127,6 +128,7 @@ def test_purge_kf_slot():
     assert (np.asarray(m3.obs_kf) == np.asarray(m.obs_kf)).all()
 
 
+@pytest.mark.slow
 def test_keyframe_step_fuses_duplicates(rng):
     """Pipeline-level fusion: seed the map with a duplicate pair (same
     position, same descriptor), track a frame whose feature is linked to one

@@ -2,6 +2,7 @@
 plus an end-to-end extract-and-match on a translated image."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -219,6 +220,7 @@ def test_clahe_expands_local_contrast():
     assert flat.std() < 10.0  # clip limit keeps a flat tile from exploding
 
 
+@pytest.mark.slow
 def test_opflow_equalized_flag_has_effect_and_tracks_low_contrast():
     """The `equalized` flag (Frame::Equalize wiring, matcher.cpp:737-742)
     must actually change the computation and still track correctly on a

@@ -10,9 +10,12 @@ import jax
 import pytest
 
 from trackingbench_slam_tpu.utils.config import (
+
     CameraConfig, ExtractorConfig, MapConfig, MeshConfig, PipelineConfig,
     PyramidConfig, SolverConfig)
 
+
+pytestmark = pytest.mark.slow  # minutes-long e2e on CPU
 
 def _run(cfg, frames):
     from trackingbench_slam_tpu.models.vo import StereoVO

@@ -3,6 +3,7 @@ same step functions, same cadence, one device program for the whole
 sequence (models/offline.py)."""
 
 import numpy as np
+import pytest
 
 from trackingbench_slam_tpu.models.offline import (OfflineStereoVO,
                                                    sequence_schedule)
@@ -13,7 +14,10 @@ from trackingbench_slam_tpu.utils.config import (CameraConfig,
                                                  PipelineConfig,
                                                  PyramidConfig, SolverConfig)
 from trackingbench_slam_tpu.utils.synthetic import (PlaneSequence,
+
                                                     lateral_trajectory)
+
+pytestmark = pytest.mark.slow  # minutes-long e2e on CPU
 
 BASELINE_M = 0.2
 

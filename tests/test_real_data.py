@@ -105,6 +105,7 @@ def test_stereo_depth_matches_disparity_oracle(real_pair, cfg):
     assert err.mean() < 3.0, err.mean()
 
 
+@pytest.mark.slow
 def test_stereo_vo_recovers_baseline_on_real_pair(real_pair, cfg):
     """Full StereoVO front-end on real data: bootstrap on the left/right
     pair, then feed the RIGHT image as the next 'left' frame. Ground truth:

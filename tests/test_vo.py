@@ -14,6 +14,8 @@ from trackingbench_slam_tpu.utils.config import (CameraConfig, ExtractorConfig,
                                                  SolverConfig)
 from trackingbench_slam_tpu.utils.synthetic import PlaneSequence, lateral_trajectory
 
+pytestmark = pytest.mark.slow  # minutes-long e2e on CPU
+
 BASELINE_M = 0.2
 DEPTH = 8.0
 

@@ -220,8 +220,11 @@ def keyframe_step(state: VOState, img_right: jax.Array,
     full = lambda: lk_pyramidal(f.lk_pyr, right.lk_pyr, f.kp_xy, f.valid,
                                 0.5, half=10, iters=30,
                                 num_levels=len(f.lk_pyr))
+    # 18 iterations suffice with the disparity prior (inverse-compositional
+    # steps contract fast once within a few px; the joint per-8 exit means
+    # the bound only prices the straggler tail)
     primed = lambda: lk_pyramidal(f.lk_pyr, right.lk_pyr, f.kp_xy, f.valid,
-                                  0.5, half=10, iters=30, num_levels=2,
+                                  0.5, half=10, iters=18, num_levels=2,
                                   init_offset=prior)
     lk = jax.lax.cond(have_prior, primed, full)
     # forward-backward consistency: track the right-image match back into
@@ -236,8 +239,11 @@ def keyframe_step(state: VOState, img_right: jax.Array,
     # kernel window or converges off-target, and both get rejected. The
     # full-pyramid version would re-pay ~2 us/point of template setup per
     # level for the same verdict.
+    # smaller verification patch (15x15) + fewer iterations: the check
+    # starts at the exact expected landing point, so it only needs to snap
+    # sub-pixel or visibly drift — not to converge from far away
     lk_back = lk_pyramidal(right.lk_pyr, f.lk_pyr, lk.xy, f.valid,
-                           0.5, half=10, iters=10, num_levels=1,
+                           0.5, half=7, iters=6, num_levels=1,
                            init_offset=f.kp_xy - lk.xy)
     fb_ok = (lk_back.converged
              & (jnp.sum((lk_back.xy - f.kp_xy) ** 2, axis=-1) < 1.0))

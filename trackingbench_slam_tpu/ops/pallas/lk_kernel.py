@@ -63,7 +63,10 @@ def _slice_rows(half: int) -> int:
     return _slab_rows(half) + 8
 
 
-PTS_PER_PROG = 8  # output block sublane requirement (>= 8) and DMA overlap
+PTS_PER_PROG = 16  # output block sublane multiple and DMA overlap depth:
+# template setup is DMA-issue-bound (2 window copies per point); 16 points
+# per program keeps 32 copies in flight and amortizes program overhead
+# (measured: setup 2.8 -> ~2.1 us/point vs PTS=8)
 
 
 def _lk_kernel(bases_ref, floats_ref, prev_hbm, cur_hbm, out_ref,
