@@ -63,10 +63,11 @@ def _slice_rows(half: int) -> int:
     return _slab_rows(half) + 8
 
 
-PTS_PER_PROG = 16  # output block sublane multiple and DMA overlap depth:
-# template setup is DMA-issue-bound (2 window copies per point); 16 points
-# per program keeps 32 copies in flight and amortizes program overhead
-# (measured: setup 2.8 -> ~2.1 us/point vs PTS=8)
+PTS_PER_PROG = 8  # output block sublane requirement (>= 8) and DMA overlap.
+# 16 was measured WORSE end-to-end (track 6.4 -> 7.0 ms): setup improves
+# ~6% from deeper DMA overlap, but the joint per-batch exit makes every
+# point iterate until the batch's slowest straggler converges, and the
+# per-iteration slab extraction loop grows linearly with the batch.
 
 
 def _lk_kernel(bases_ref, floats_ref, prev_hbm, cur_hbm, out_ref,
