@@ -280,23 +280,15 @@ def stage_timings(cfg, frames, reps=5):
 
 def lk_kernel_microbench():
     """us/point-iteration of the Pallas LK kernel (TPU only) — the r2
-    kernel-batching milestone's tracking number."""
-    import subprocess
+    kernel-batching milestone's tracking number. In-process: a subprocess
+    pays ~150 s of remote-backend init before any measurement."""
     try:
-        r = subprocess.run(
-            [sys.executable,
-             os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "benchmarks", "lk_microbench.py"), "--reps", "8"],
-            capture_output=True, text=True,
-            timeout=max(60, min(300, _time_left())))
-        for line in r.stdout.splitlines():
-            line = line.strip()
-            if line.startswith("{"):
-                d = json.loads(line)
-                return {"lk_us_per_point_iteration":
-                            d["us_per_point_iteration"],
-                        "lk_us_per_point_setup":
-                            d["us_per_point_setup_plus1"]}
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "benchmarks"))
+        from lk_microbench import measure
+        d = measure(reps=8)
+        return {"lk_us_per_point_iteration": d["us_per_point_iteration"],
+                "lk_us_per_point_setup": d["us_per_point_setup_plus1"]}
     except Exception as e:
         print(f"lk microbench skipped: {e}", file=sys.stderr)
     return {}
@@ -389,10 +381,11 @@ def loop_closing_bench(cfg, baseline, n=96):
 
 def ba_scaling_bench():
     """BA iters/s (BASELINE.md's missing metric): production-size solve on
-    the bench device, plus weak scaling over virtual CPU devices (landmarks
+    the bench device (in-process — a subprocess pays ~150 s of remote
+    backend init), plus weak scaling over virtual CPU devices (landmarks
     per shard constant at 512; efficiency = t_iter(1 dev) / t_iter(8 dev),
-    1.0 = perfect). CPU subprocesses so the virtual-device XLA flags never
-    touch this process's backend."""
+    1.0 = perfect). The CPU runs stay subprocesses: XLA's virtual device
+    count binds at backend init and must not touch this process."""
     import subprocess
     script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "benchmarks", "ba_scaling.py")
@@ -410,18 +403,23 @@ def ba_scaling_bench():
         return None
 
     out = {}
-    dev = run(["--landmarks", "4096"])  # bench device, production size
-    if dev:
-        out["device_1chip"] = dev
-    c1 = run(["--cpu", "--devices", "1", "--landmarks", "512",
-              "--reps", "2"])
-    c8 = run(["--cpu", "--devices", "8", "--landmarks", "4096",
-              "--reps", "2"])
-    if c1 and c8:
-        out["cpu_1dev_512lm"] = c1
-        out["cpu_8dev_4096lm"] = c8
-        out["weak_scaling_efficiency"] = round(
-            c1["ms_per_iter"] / max(c8["ms_per_iter"], 1e-9), 3)
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "benchmarks"))
+        from ba_scaling import measure
+        out["device_1chip"] = measure(devices=1, landmarks=4096, reps=3)
+    except Exception as e:
+        print(f"ba_scaling device run skipped: {e}", file=sys.stderr)
+    if _time_left() > 180:
+        c1 = run(["--cpu", "--devices", "1", "--landmarks", "512",
+                  "--reps", "2"])
+        c8 = run(["--cpu", "--devices", "8", "--landmarks", "4096",
+                  "--reps", "2"])
+        if c1 and c8:
+            out["cpu_1dev_512lm"] = c1
+            out["cpu_8dev_4096lm"] = c8
+            out["weak_scaling_efficiency"] = round(
+                c1["ms_per_iter"] / max(c8["ms_per_iter"], 1e-9), 3)
     return out
 
 
@@ -594,6 +592,10 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # NOTE: jax's persistent compilation cache was measured USELESS for the
+    # remote axon backend (a cached track_step executable was written but a
+    # fresh process still recompiled, 636 s vs 308 s cold) — do not bother
+    # wiring it here.
 
     cfg, baseline = build_config()
     if args.ba_every is not None:
@@ -636,11 +638,13 @@ def main():
             print("loop-closing bench skipped: bench budget spent",
                   file=sys.stderr)
         for name, fn in (
-                # offline scan compiles the whole-sequence program (minutes
-                # over a remote tunnel on first run) — needs real headroom
-                ("offline_scan", lambda: offline_scan_bench(cfg, frames)),
-                ("dp_eval", lambda: dp_eval_bench(cfg, frames)),
+                # priority order under the wall-clock budget: the BASELINE
+                # BA metric first, then the dp axis, then the offline scan
+                # (which compiles the whole-sequence program — minutes over
+                # a remote tunnel on first run, hence the extra headroom)
                 ("ba_scaling", ba_scaling_bench),
+                ("dp_eval", lambda: dp_eval_bench(cfg, frames)),
+                ("offline_scan", lambda: offline_scan_bench(cfg, frames)),
         ):
             need = 300 if name == "offline_scan" else 120
             if _time_left() > need:

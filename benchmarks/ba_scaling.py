@@ -25,27 +25,17 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--devices", type=int, default=1)
-    p.add_argument("--landmarks", type=int, default=4096)
-    p.add_argument("--keyframes", type=int, default=16)
-    p.add_argument("--obs", type=int, default=16)
-    p.add_argument("--reps", type=int, default=4)
-    p.add_argument("--iters-lo", type=int, default=2)
-    p.add_argument("--iters-hi", type=int, default=12)
-    p.add_argument("--cpu", action="store_true")
-    args = p.parse_args()
-
-    if args.cpu:
-        flags = os.environ.get("XLA_FLAGS", "")
-        if "xla_force_host_platform_device_count" not in flags:
-            os.environ["XLA_FLAGS"] = (
-                flags + f" --xla_force_host_platform_device_count="
-                        f"{args.devices}").strip()
+def measure(devices: int = 1, landmarks: int = 4096, keyframes: int = 16,
+            obs: int = 16, reps: int = 4, iters_lo: int = 2,
+            iters_hi: int = 12) -> dict:
+    """In-process measurement on the CURRENT backend (bench.py calls this
+    for the device number; the virtual-CPU weak-scaling runs stay
+    subprocesses because XLA device-count flags bind at backend init)."""
+    import types
+    args = types.SimpleNamespace(devices=devices, landmarks=landmarks,
+                                 keyframes=keyframes, obs=obs, reps=reps,
+                                 iters_lo=iters_lo, iters_hi=iters_hi)
     import jax
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
     from trackingbench_slam_tpu.geometry import se3
@@ -107,14 +97,37 @@ def main():
     t_lo = timed(args.iters_lo)
     t_hi = timed(args.iters_hi)
     per_iter = max((t_hi - t_lo) / (args.iters_hi - args.iters_lo), 1e-9)
-    import jax as _j
-    print(json.dumps({
+    return {
         "devices": args.devices,
-        "platform": _j.devices()[0].platform,
+        "platform": jax.devices()[0].platform,
         "landmarks": L, "keyframes": K, "obs_per_landmark": O,
         "ms_per_iter": round(per_iter * 1000, 3),
         "iters_per_s": round(1.0 / per_iter, 2),
-    }))
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--devices", type=int, default=1)
+    p.add_argument("--landmarks", type=int, default=4096)
+    p.add_argument("--keyframes", type=int, default=16)
+    p.add_argument("--obs", type=int, default=16)
+    p.add_argument("--reps", type=int, default=4)
+    p.add_argument("--iters-lo", type=int, default=2)
+    p.add_argument("--iters-hi", type=int, default=12)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+    if args.cpu:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count="
+                        f"{args.devices}").strip()
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    print(json.dumps(measure(args.devices, args.landmarks, args.keyframes,
+                             args.obs, args.reps, args.iters_lo,
+                             args.iters_hi)))
 
 
 if __name__ == "__main__":

@@ -17,17 +17,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--points", type=int, default=2000)
-    p.add_argument("--half", type=int, default=10)
-    p.add_argument("--reps", type=int, default=20)
-    p.add_argument("--cpu", action="store_true")
-    args = p.parse_args()
-
+def measure(points: int = 2000, half: int = 10, reps: int = 20) -> dict:
+    """In-process measurement (bench.py calls this directly: a subprocess
+    pays ~150 s of remote-backend init before any work)."""
+    import types
+    args = types.SimpleNamespace(points=points, half=half, reps=reps)
     import jax
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
@@ -83,14 +78,27 @@ def main():
     us_setup = t1 / N * 1e6  # template + 1 iteration + launch
     # realistic: early exit on, 30 iters budget
     t_real = run(30, 0.01)
-    print(json.dumps({
+    return {
         "platform": jax.devices()[0].platform,
         "points": N, "half": args.half,
         "us_per_point_iteration": round(us_per_pt_iter, 4),
         "us_per_point_setup_plus1": round(us_setup, 3),
         "ms_track_realistic": round(t_real * 1e3, 3),
         "ms_iters25": round(t25 * 1e3, 3), "ms_iters1": round(t1 * 1e3, 3),
-    }))
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--points", type=int, default=2000)
+    p.add_argument("--half", type=int, default=10)
+    p.add_argument("--reps", type=int, default=20)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    print(json.dumps(measure(args.points, args.half, args.reps)))
 
 
 if __name__ == "__main__":

@@ -4,6 +4,8 @@ C++ loader, driven through StereoVO, scored with ATE, and exported in the
 standard trajectory formats. Makes load_kitti_odometry and load_euroc
 load-bearing (load_euroc previously had zero call sites)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -112,3 +114,24 @@ def test_trajectory_io_roundtrip(tmp_path, rng):
     _, Tt = trajectory_io.load_tum_trajectory(tum)
     assert np.allclose(Tk, T, atol=1e-6)
     assert np.allclose(Tt, T, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_bench_real_sequence_hook(tmp_path):
+    """bench.real_sequence_eval runs a KITTI-layout directory end-to-end
+    and exports trajectories (the --kitti-root hook, test_vo.cpp:511-577
+    protocol)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+    from trackingbench_slam_tpu.utils import datasets
+    root = os.path.join(tmp_path, "kitti")
+    datasets.save_synthetic_kitti(root, n_frames=10)
+    out = bench.real_sequence_eval(kitti_root=root, max_frames=10)
+    assert out is not None and out["dataset"] == "kitti00"
+    assert out["frames"] == 10
+    assert out["ate_rmse_m"] < 0.05
+    repo = os.path.dirname(os.path.abspath(bench.__file__))
+    assert os.path.exists(os.path.join(repo, "traj_kitti00.kitti.txt"))
+    assert os.path.exists(os.path.join(repo, "traj_kitti00.tum.txt"))
