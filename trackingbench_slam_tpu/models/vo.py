@@ -220,11 +220,8 @@ def keyframe_step(state: VOState, img_right: jax.Array,
     full = lambda: lk_pyramidal(f.lk_pyr, right.lk_pyr, f.kp_xy, f.valid,
                                 0.5, half=10, iters=30,
                                 num_levels=len(f.lk_pyr))
-    # 18 iterations suffice with the disparity prior (inverse-compositional
-    # steps contract fast once within a few px; the joint per-8 exit means
-    # the bound only prices the straggler tail)
     primed = lambda: lk_pyramidal(f.lk_pyr, right.lk_pyr, f.kp_xy, f.valid,
-                                  0.5, half=10, iters=18, num_levels=2,
+                                  0.5, half=10, iters=30, num_levels=2,
                                   init_offset=prior)
     lk = jax.lax.cond(have_prior, primed, full)
     # forward-backward consistency: track the right-image match back into
@@ -239,11 +236,11 @@ def keyframe_step(state: VOState, img_right: jax.Array,
     # kernel window or converges off-target, and both get rejected. The
     # full-pyramid version would re-pay ~2 us/point of template setup per
     # level for the same verdict.
-    # smaller verification patch (15x15) + fewer iterations: the check
-    # starts at the exact expected landing point, so it only needs to snap
-    # sub-pixel or visibly drift — not to converge from far away
+    # NOTE: do not trim this check (a 15x15 patch / 6-iteration variant
+    # saved ~10 ms per keyframe but let enough bad stereo depths through to
+    # double the closed-loop drift on the loop bench: 2.1 m -> 3.8 m)
     lk_back = lk_pyramidal(right.lk_pyr, f.lk_pyr, lk.xy, f.valid,
-                           0.5, half=7, iters=6, num_levels=1,
+                           0.5, half=10, iters=10, num_levels=1,
                            init_offset=f.kp_xy - lk.xy)
     fb_ok = (lk_back.converged
              & (jnp.sum((lk_back.xy - f.kp_xy) ** 2, axis=-1) < 1.0))
@@ -434,8 +431,21 @@ class StereoVO:
             # verdict of the loop query issued at the LAST keyframe; the
             # async copy has had a full frame to land, so this fetch is free
             self._finish_loop_detect()
+        # No keyframe insertion while tracking is lost IF relocalization
+        # exists (ORB-SLAM semantics: Tracking::NeedNewKeyFrame refuses
+        # while tracking is bad) — a lost frame's pose is garbage, and
+        # landmarks minted from it poison the map for windowed BA
+        # (measured: a transient 12-inlier stretch on the loop bench became
+        # a kilometer-scale teleport). WITHOUT a relocalizer the only
+        # recovery path is re-mapping, so keyframes must keep flowing —
+        # that re-acquisition through the dip is exactly how the
+        # closer-less loop run recovers. `self.lost` is one frame stale by
+        # design (async inlier fetch).
+        hold_kf = (self.lost and self.loop_closer is not None
+                   and self._fid > self.cfg.keyframe_every)
         is_kf = (img_right is not None
-                 and self._fid % self.cfg.keyframe_every == 0)
+                 and self._fid % self.cfg.keyframe_every == 0
+                 and not hold_kf)
         if is_kf:
             self._kf_count += 1
             do_ba = (self.cfg.local_ba_every > 0

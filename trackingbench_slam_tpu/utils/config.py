@@ -72,11 +72,16 @@ class ExtractorConfig:
     """
 
     num_features: int = 2000
-    # two-threshold fallback (ORBextractor.cpp:765-804): cells holding a
+    # Two-threshold fallback (ORBextractor.cpp:765-804): cells holding a
     # corner that survives detection at init_threshold drop their weaker
     # (>= min_threshold only) corners; cells with none keep the weak ones.
-    # Set init_threshold <= min_threshold to disable the second pass.
-    init_threshold: int = 40
+    # <= min_threshold disables the second pass (the DEFAULT): on smooth
+    # synthetic renders the gate starves re-acquisition after a low-inlier
+    # stretch (measured on the loop bench: a transient 12-inlier dip that
+    # ungated extraction recovers from became a permanent teleport with the
+    # gate at 24 or 40). On real imagery the reference runs iniTh/minTh =
+    # 80/30 ~ 2.7x; set init_threshold ~ 2.7 * min_threshold for parity.
+    init_threshold: int = 0
     min_threshold: int = 7
     cell_size: int = 32  # occupancy-grid cell in pixels at level 0
     patch_half: int = 15  # ORB orientation/descriptor patch half size (31x31)
