@@ -212,6 +212,32 @@ class LoopCloser:
         # ring of per-slot feature snapshots; slot i describes db.vectors[i]
         self.entries: list[Optional[dict]] = [None] * capacity
         self._pending: Optional[dict] = None
+        # keyframes to skip loop DETECTION for after an accepted closure
+        # (registration continues): right after a correction the trajectory
+        # is consistent, and re-verifying candidates at every subsequent
+        # keyframe is pure overhead (each verification is a dispatch plus a
+        # blocking fetch). StereoVO._close_loop calls notify_loop_closed().
+        self.detect_cooldown_keyframes = 3
+        self._detect_cooldown = 0
+
+    def notify_loop_closed(self):
+        self._detect_cooldown = self.detect_cooldown_keyframes
+
+    def _stage_pending(self, used_after, top_idx, scores, desc, valid,
+                       nodes, kp_xy, T_cw, kf_node):
+        if used_after <= self.exclude_recent:
+            return
+        if self._detect_cooldown > 0:
+            self._detect_cooldown -= 1
+            return
+        for a in (top_idx, scores):
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass
+        self._pending = dict(idx=top_idx, scores=scores, desc=desc,
+                             valid=valid, nodes=nodes, kp_xy=kp_xy,
+                             T_cw=T_cw, kf_node=kf_node)
 
     def _ensure_db(self, width: int):
         """Sparse database is sized by the feature capacity, known at the
@@ -276,15 +302,8 @@ class LoopCloser:
         self.entries[slot] = dict(
             desc=desc, valid=valid, nodes=nodes, kp_xy=kp_xy,
             map_idx=map_idx, map_pos=map_pos, T_cw=T_cw, vec=v)
-        if used_after > self.exclude_recent:
-            for a in (top_idx, scores):
-                try:
-                    a.copy_to_host_async()
-                except Exception:
-                    pass
-            self._pending = dict(idx=top_idx, scores=scores, desc=desc,
-                                 valid=valid, nodes=nodes, kp_xy=kp_xy,
-                                 T_cw=T_cw, kf_node=kf_node)
+        self._stage_pending(used_after, top_idx, scores, desc, valid,
+                            nodes, kp_xy, T_cw, kf_node)
         return slot
 
     def begin_slot(self, width: int):
@@ -314,15 +333,8 @@ class LoopCloser:
         self.entries[slot] = dict(
             desc=desc, valid=valid, nodes=nodes, kp_xy=kp_xy,
             map_idx=map_idx, map_pos=map_pos, T_cw=T_cw, vec=vec)
-        if used_after > self.exclude_recent:
-            for a in (top_idx, scores):
-                try:
-                    a.copy_to_host_async()
-                except Exception:
-                    pass
-            self._pending = dict(idx=top_idx, scores=scores, desc=desc,
-                                 valid=valid, nodes=nodes, kp_xy=kp_xy,
-                                 T_cw=T_cw, kf_node=kf_node)
+        self._stage_pending(used_after, top_idx, scores, desc, valid,
+                            nodes, kp_xy, T_cw, kf_node)
         return slot
 
     @property

@@ -383,6 +383,9 @@ class StereoVO:
     reset from the loop candidate."""
 
     min_track_inliers = 15
+    # relocalization rate limit (see the lost-handling block in track())
+    reloc_cooldown_frames = 3
+    reloc_max_fails = 2
 
     def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
@@ -403,6 +406,8 @@ class StereoVO:
         self._fid = 0
         self._kf_count = 0
         self._pending_inliers = None
+        self._reloc_fails = 0
+        self._reloc_cooldown = 0
 
     @staticmethod
     def _to_device(img):
@@ -442,6 +447,7 @@ class StereoVO:
         # closer-less loop run recovers. `self.lost` is one frame stale by
         # design (async inlier fetch).
         hold_kf = (self.lost and self.loop_closer is not None
+                   and self._reloc_fails < self.reloc_max_fails
                    and self._fid > self.cfg.keyframe_every)
         is_kf = (img_right is not None
                  and self._fid % self.cfg.keyframe_every == 0
@@ -480,10 +486,29 @@ class StereoVO:
         except Exception:
             pass
         if prev_pending is not None:
+            was_lost = self.lost
             self.lost = (int(prev_pending) < self.min_track_inliers
                          and self._fid > 2)
-            if self.lost and self.loop_closer is not None:
-                self._relocalize()
+            if not self.lost:
+                self._reloc_fails = 0
+                self._reloc_cooldown = 0
+            elif self.loop_closer is not None:
+                # Rate-limited relocalization: each attempt costs an ORB
+                # extraction + BoW query + batched verification (~100 ms of
+                # dispatches and a blocking fetch) — attempting it EVERY
+                # lost frame dominated the loop bench (51 verification
+                # calls in 85 frames). Attempts keep firing at the cooldown
+                # cadence for as long as tracking stays lost (the view may
+                # only become recognizable later); after reloc_max_fails
+                # failures the lost-keyframe hold lifts (see hold_kf) and
+                # RE-MAPPING runs in parallel as the fallback recovery.
+                if self._reloc_cooldown <= 0:
+                    self._relocalize()
+                    if self.lost:
+                        self._reloc_fails += 1
+                    self._reloc_cooldown = self.reloc_cooldown_frames
+                else:
+                    self._reloc_cooldown -= 1
         self._pending_inliers = h
         self.trajectory.append(self.state.T_cw)
         return self.state
@@ -553,6 +578,7 @@ class StereoVO:
             self.state, jnp.asarray(T_pad, jnp.float32))
         self.trajectory = [jnp.asarray(T, jnp.float32) for T in T_opt[:-1]]
         self.loop_events.append(self._fid)
+        self.loop_closer.notify_loop_closed()
 
     def _relocalize(self):
         """Recover from tracking loss via BoW retrieval against the keyframe
