@@ -219,6 +219,7 @@ class LoopCloser:
         # blocking fetch). StereoVO._close_loop calls notify_loop_closed().
         self.detect_cooldown_keyframes = 3
         self._detect_cooldown = 0
+        self._pending_verify: Optional[dict] = None
 
     def notify_loop_closed(self):
         self._detect_cooldown = self.detect_cooldown_keyframes
@@ -339,18 +340,46 @@ class LoopCloser:
 
     @property
     def has_pending(self) -> bool:
-        return self._pending is not None
+        return self._pending is not None or self._pending_verify is not None
 
-    def finish_detect(self):
-        """Fetch the deferred query verdict and verify candidates.
-        Returns (LoopCandidate | None, kf_node | None)."""
-        p, self._pending = self._pending, None
+    def finish_detect(self, flush: bool = False):
+        """Advance the deferred loop-detection pipeline by one stage and
+        return (LoopCandidate | None, kf_node | None) when a verification
+        completes.
+
+        Two-phase by design: the query verdict (idx/scores) is an output of
+        the fused keyframe dispatch, so fetching it immediately after would
+        BLOCK on that whole program (~100 ms over the tunnel — measured as
+        the bulk of finish_detect's 195 ms/call). Phase A waits until the
+        verdict has had >= 2 frames to land, then ISSUES the batched
+        candidate verification without fetching it; phase B (the next
+        frame) fetches the tiny counts array, which has landed by then.
+        `flush=True` (end of run) drains both stages synchronously."""
+        # phase B: a verification issued earlier — its counts have landed
+        if self._pending_verify is not None:
+            pv, self._pending_verify = self._pending_verify, None
+            loop = self._finish_verify(pv)
+            return loop, pv["kf_node"]
+        p = self._pending
         if p is None:
             return None, None
-        loop = self._verify(np.asarray(p["idx"]), np.asarray(p["scores"]),
-                            p["desc"], p["valid"], p["nodes"], p["kp_xy"],
-                            p["T_cw"], init_from_candidate=False)
-        return loop, p["kf_node"]
+        p["age"] = p.get("age", 0) + 1
+        if p["age"] < 2 and not flush:
+            return None, None          # verdict still in flight; keep it
+        self._pending = None
+        pv = self._issue_verify(np.asarray(p["idx"]),
+                                np.asarray(p["scores"]),
+                                p["desc"], p["valid"], p["nodes"],
+                                p["kp_xy"], p["T_cw"],
+                                init_from_candidate=False)
+        if pv is None:
+            return None, None
+        pv["kf_node"] = p["kf_node"]
+        if flush:
+            loop = self._finish_verify(pv)
+            return loop, pv["kf_node"]
+        self._pending_verify = pv
+        return None, None
 
     def detect(self, desc, valid, kp_xy, T_cw_init,
                init_from_candidate: bool = False) -> Optional[LoopCandidate]:
@@ -370,12 +399,11 @@ class LoopCloser:
         return self._verify(np.asarray(idx), np.asarray(scores), desc, valid,
                             nodes, kp_xy, T_cw_init, init_from_candidate)
 
-    def _verify(self, idx, scores, desc, valid, nodes, kp_xy, T_cw_init,
-                init_from_candidate: bool) -> Optional[LoopCandidate]:
-        """Geometric verification of retrieved candidates: bucketed BoW
-        matching, then motion-only pose optimization on the candidate's
-        landmarks; accept on inlier count (LocalBA.cpp:489's return value,
-        finally used). All candidates verify in one batched device call."""
+    def _issue_verify(self, idx, scores, desc, valid, nodes, kp_xy,
+                      T_cw_init, init_from_candidate: bool):
+        """Dispatch the batched candidate verification WITHOUT fetching it.
+        Returns the pending-verify dict (device handles + host metadata) or
+        None when no candidate clears min_score."""
         ranks = [r for r in range(len(idx))
                  if idx[r] >= 0 and scores[r] >= self.min_score
                  and self.entries[int(idx[r])] is not None]
@@ -396,15 +424,36 @@ class LoopCloser:
             jnp.stack([jnp.asarray(np.asarray(c["map_idx"], np.int32))
                        for c in cands]),
             stack("map_pos"), c_T_cw, self.mcfg, self.scfg)
-        counts = np.asarray(counts)  # (C, 3): one round trip for the verdict
-        for k, r in enumerate(ranks):
+        try:
+            counts.copy_to_host_async()
+        except Exception:
+            pass
+        return dict(counts=counts, T_cur_cand=T_cur_cand, ranks=ranks,
+                    idx=idx, scores=scores, kf_node=None)
+
+    def _finish_verify(self, pv) -> Optional[LoopCandidate]:
+        """Fetch the (C, 3) counts verdict and pick the winner; the
+        relative pose is only fetched on acceptance."""
+        counts = np.asarray(pv["counts"])
+        idx, scores = pv["idx"], pv["scores"]
+        for k, r in enumerate(pv["ranks"]):
             n_bow, n_lm, n_inl = counts[k]
             if n_bow >= 8 and n_lm >= 8 and n_inl >= self.min_inliers:
                 return LoopCandidate(kf_index=int(idx[r]),
                                      score=float(scores[r]),
                                      num_inliers=int(n_inl),
-                                     T_cur_kf=np.asarray(T_cur_cand[k]))
+                                     T_cur_kf=np.asarray(pv["T_cur_cand"][k]))
         return None
+
+    def _verify(self, idx, scores, desc, valid, nodes, kp_xy, T_cw_init,
+                init_from_candidate: bool) -> Optional[LoopCandidate]:
+        """Synchronous verification (relocalization and tests): issue +
+        finish in one call (LocalBA.cpp:489's inlier count, finally used)."""
+        pv = self._issue_verify(idx, scores, desc, valid, nodes, kp_xy,
+                                T_cw_init, init_from_candidate)
+        if pv is None:
+            return None
+        return self._finish_verify(pv)
 
     @staticmethod
     def correct_trajectory(T_cw_all: np.ndarray, loop: LoopCandidate,

@@ -542,11 +542,11 @@ class StereoVO:
                                 kf_node=kf_node)
         self._kf_traj_idx[slot] = kf_node
 
-    def _finish_loop_detect(self):
-        """Deferred loop verdict (one frame after the keyframe): fetch the
-        async query result, geometrically verify any candidate above
-        min_score, and apply the correction."""
-        loop, kf_node = self.loop_closer.finish_detect()
+    def _finish_loop_detect(self, flush: bool = False):
+        """Advance the deferred loop-detection pipeline (see
+        LoopCloser.finish_detect's two-phase design) and apply a completed
+        correction. flush drains every stage synchronously (end of run)."""
+        loop, kf_node = self.loop_closer.finish_detect(flush=flush)
         if loop is not None:
             self._close_loop(loop, kf_node)
 
@@ -628,8 +628,11 @@ class StereoVO:
         keyframes. Without it, a mid-run BA correction makes the recorded
         path a patchwork of pre- and post-correction segments."""
         import numpy as np
-        if self.loop_closer is not None and self.loop_closer.has_pending:
-            self._finish_loop_detect()  # flush a verdict issued at the end
+        if self.loop_closer is not None:
+            for _ in range(4):          # drain both deferred stages
+                if not self.loop_closer.has_pending:
+                    break
+                self._finish_loop_detect(flush=True)
         T = np.asarray(jnp.stack(self.trajectory))
         if not refine_with_keyframes or self.state is None:
             return T
