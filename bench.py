@@ -420,6 +420,13 @@ def ba_scaling_bench():
             out["cpu_8dev_4096lm"] = c8
             out["weak_scaling_efficiency"] = round(
                 c1["ms_per_iter"] / max(c8["ms_per_iter"], 1e-9), 3)
+            # context: the 8 virtual XLA devices share this host's physical
+            # cores, so efficiency is bounded by cores/devices (on the
+            # 2-vCPU bench box the ceiling is 0.25, not 1.0) — the number
+            # validates the collective program, not real scaling hardware
+            out["host_physical_cpus"] = os.cpu_count()
+            out["efficiency_ceiling_on_this_host"] = round(
+                min(1.0, (os.cpu_count() or 1) / 8), 3)
     return out
 
 

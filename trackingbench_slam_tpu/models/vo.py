@@ -486,7 +486,6 @@ class StereoVO:
         except Exception:
             pass
         if prev_pending is not None:
-            was_lost = self.lost
             self.lost = (int(prev_pending) < self.min_track_inliers
                          and self._fid > 2)
             if not self.lost:
