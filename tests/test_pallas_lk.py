@@ -91,3 +91,47 @@ def test_pallas_lk_border_points():
     # border points must not report convergence to garbage
     assert not bool(conv[0])
     assert not bool(conv[1])
+
+
+def test_fused_fb_check_accepts_good_rejects_flat():
+    """fb_iters > 0 returns a forward-backward verdict from the SAME kernel
+    launch: textured points that track cleanly pass (back-track returns
+    sub-pixel); points in a flat region — whose forward 'convergence' is
+    meaningless — must fail the round trip or report a large distance."""
+    import numpy as np
+    import jax.numpy as jnp
+    from trackingbench_slam_tpu.ops.pallas.lk_kernel import patch_align_pallas
+    from tests.conftest import make_textured_image
+
+    img1 = make_textured_image(240, 320, seed=4)
+    # pure translation via roll keeps texture identical
+    img2 = np.roll(np.roll(img1, 2, axis=0), 3, axis=1)
+    # right half of img2 REPLACED with unrelated texture: forward LK locks
+    # onto spurious local minima there, and only the round trip exposes it
+    img2[:, 200:] = make_textured_image(240, 320, seed=99)[:, 200:]
+    r = np.random.RandomState(6)
+    good = np.stack([r.uniform(40, 180, 12), r.uniform(30, 210, 12)], -1)
+    flat = np.stack([r.uniform(230, 300, 12), r.uniform(80, 160, 12)], -1)
+    pts = np.concatenate([good, flat]).astype(np.float32)
+    valid = np.ones(len(pts), bool)
+    xy, conv, err, fb_conv, fb_d2 = patch_align_pallas(
+        jnp.asarray(img1), jnp.asarray(img2), jnp.asarray(pts),
+        jnp.asarray(pts), jnp.asarray(valid), half=10, iters=30,
+        fb_iters=10, interpret=True)
+    xy, conv = np.asarray(xy), np.asarray(conv)
+    fb_conv, fb_d2 = np.asarray(fb_conv), np.asarray(fb_d2)
+    fb_ok = fb_conv & (fb_d2 < 1.0)
+    n_good = len(good)
+    # good points: tracked to the (3, 2) shift and round-trip verified
+    got = conv[:n_good] & fb_ok[:n_good]
+    assert got.mean() > 0.8, got
+    land = xy[:n_good][got[:len(good)]] - pts[:n_good][got]
+    np.testing.assert_allclose(land, np.tile([[3.0, 2.0]], (got.sum(), 1)),
+                               atol=0.1)
+    # the fb verdict must reject most of the changed-texture points whose
+    # forward pass "converged" onto spurious matches
+    bad_fwd = conv[n_good:]
+    bad_ok = fb_ok[n_good:]
+    if bad_fwd.sum() > 0:
+        assert bad_ok.sum() <= max(1, bad_fwd.sum() // 2), (bad_fwd.sum(),
+                                                            bad_ok.sum())

@@ -217,12 +217,16 @@ def keyframe_step(state: VOState, img_right: jax.Array,
     have_prior = jnp.isfinite(med_disp) & (jnp.sum(known) >= 10)
     disp_i = jnp.where(known, disp, jnp.where(have_prior, med_disp, 0.0))
     prior = jnp.stack([-disp_i, jnp.zeros_like(disp_i)], axis=-1)
+    # fb_iters=10 fuses the forward-backward consistency check into the
+    # SAME kernel launch (the back-track reuses the windows already in
+    # VMEM); a separate backward lk_pyramidal call re-paid both window
+    # DMAs and the full per-point setup (~7 ms/keyframe)
     full = lambda: lk_pyramidal(f.lk_pyr, right.lk_pyr, f.kp_xy, f.valid,
                                 0.5, half=10, iters=30,
-                                num_levels=len(f.lk_pyr))
+                                num_levels=len(f.lk_pyr), fb_iters=10)
     primed = lambda: lk_pyramidal(f.lk_pyr, right.lk_pyr, f.kp_xy, f.valid,
                                   0.5, half=10, iters=30, num_levels=2,
-                                  init_offset=prior)
+                                  init_offset=prior, fb_iters=10)
     lk = jax.lax.cond(have_prior, primed, full)
     # forward-backward consistency: track the right-image match back into
     # the left image; a healthy stereo match returns to its keypoint within
@@ -230,20 +234,11 @@ def keyframe_step(state: VOState, img_right: jax.Array,
     # LK implementations — the round trip is the reliable rejector (the
     # reference leans on its F-matrix RANSAC for the same purpose,
     # matcher.cpp:853-881; rectified stereo admits this stronger check).
-    # single level suffices for the check when initialized at the expected
-    # landing point (the original left keypoint): a healthy patch snaps
-    # back sub-pixel; an ambiguous/textureless one drifts out of the +-12 px
-    # kernel window or converges off-target, and both get rejected. The
-    # full-pyramid version would re-pay ~2 us/point of template setup per
-    # level for the same verdict.
-    # NOTE: do not trim this check (a 15x15 patch / 6-iteration variant
+    # NOTE: do not weaken this check (a 15x15 patch / 6-iteration variant
     # saved ~10 ms per keyframe but let enough bad stereo depths through to
-    # double the closed-loop drift on the loop bench: 2.1 m -> 3.8 m)
-    lk_back = lk_pyramidal(right.lk_pyr, f.lk_pyr, lk.xy, f.valid,
-                           0.5, half=10, iters=10, num_levels=1,
-                           init_offset=f.kp_xy - lk.xy)
-    fb_ok = (lk_back.converged
-             & (jnp.sum((lk_back.xy - f.kp_xy) ** 2, axis=-1) < 1.0))
+    # double the closed-loop drift on the loop bench: 2.1 m -> 3.8 m); the
+    # fused in-kernel form keeps the full 21x21 patch and 10 iterations.
+    fb_ok = lk.fb_conv & (lk.fb_d2 < 1.0)
     depth, disp_ok = tri.stereo_depth(cam.bf, f.kp_xy[:, 0], lk.xy[:, 0])
     # vertical drift gate (rectified stereo: rows must agree)
     row_ok = jnp.abs(lk.xy[:, 1] - f.kp_xy[:, 1]) < 2.0

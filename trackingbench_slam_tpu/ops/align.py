@@ -31,6 +31,10 @@ class AlignResult(NamedTuple):
     xy: jax.Array        # (N, 2) refined positions
     converged: jax.Array  # (N,) bool
     error: jax.Array     # (N,) mean abs residual at the solution
+    # forward-backward consistency (lk_pyramidal(fb_iters>0) only):
+    fb_conv: jax.Array | None = None  # (N,) back-track converged
+    fb_d2: jax.Array | None = None    # (N,) squared px distance of the
+    #                                   back-track to the template center
 
 
 def _patch_grid(half: int, dtype=jnp.float32):
@@ -155,12 +159,14 @@ def anchored_align(atlas: jax.Array, img: jax.Array, centers: jax.Array,
                          iters=iters, conv_eps=conv_eps, with_illum=True)
 
 
-@functools.partial(jax.jit, static_argnames=("half", "iters", "num_levels"))
+@functools.partial(jax.jit, static_argnames=("half", "iters", "num_levels",
+                                             "fb_iters"))
 def lk_pyramidal(prev_pyr: tuple, cur_pyr: tuple, pts: jax.Array,
                  valid: jax.Array, scale: float,
                  half: int = 10, iters: int = 30,
                  num_levels: int = 3,
-                 init_offset: jax.Array | None = None) -> AlignResult:
+                 init_offset: jax.Array | None = None,
+                 fb_iters: int = 0) -> AlignResult:
     """Pyramidal Lucas-Kanade, the searchByOPFlow engine
     (matcher.cpp:745: cv::calcOpticalFlowPyrLK(..., Size(21,21), 3)).
 
@@ -186,13 +192,19 @@ def lk_pyramidal(prev_pyr: tuple, cur_pyr: tuple, pts: jax.Array,
     xy = start * (scale ** (levels - 1))
     conv = valid
     err = jnp.full((pts.shape[0],), jnp.inf, pts.dtype)
+    fb_conv = fb_d2 = None
     for lvl in range(levels - 1, -1, -1):
         s = scale ** lvl
         tpl_xy = pts * s
+        fb_here = fb_iters if lvl == 0 else 0  # check at full res only
         if use_pallas:
-            xy, conv, err = patch_align_pallas(
+            out = patch_align_pallas(
                 prev_pyr[lvl], cur_pyr[lvl], tpl_xy, xy, valid,
-                half=half, iters=iters, conv_eps=0.01)
+                half=half, iters=iters, conv_eps=0.01, fb_iters=fb_here)
+            if fb_here > 0:
+                xy, conv, err, fb_conv, fb_d2 = out
+            else:
+                xy, conv, err = out
         else:
             tpl, tgrad = template_patches_and_grads(prev_pyr[lvl], tpl_xy, half)
             res = align_patches(cur_pyr[lvl], tpl, tgrad, xy, valid,
@@ -201,6 +213,17 @@ def lk_pyramidal(prev_pyr: tuple, cur_pyr: tuple, pts: jax.Array,
             xy = res.xy
             err = res.error
             conv = res.converged
+            if fb_here > 0:
+                # XLA fallback: explicit back-track, same semantics
+                tplB, tgB = template_patches_and_grads(cur_pyr[0], xy, half)
+                back = align_patches(prev_pyr[0], tplB, tgB, tpl_xy, conv,
+                                     half=half, iters=fb_here,
+                                     conv_eps=0.01, with_illum=True)
+                fb_conv = conv & back.converged
+                fb_d2 = jnp.where(
+                    fb_conv,
+                    jnp.sum((back.xy - tpl_xy) ** 2, axis=-1), 1e9)
         if lvl > 0:
             xy = xy / scale
-    return AlignResult(xy=xy, converged=conv, error=err)
+    return AlignResult(xy=xy, converged=conv, error=err,
+                       fb_conv=fb_conv, fb_d2=fb_d2)

@@ -72,7 +72,8 @@ PTS_PER_PROG = 8  # output block sublane requirement (>= 8) and DMA overlap.
 
 def _lk_kernel(bases_ref, floats_ref, prev_hbm, cur_hbm, out_ref,
                prev_win, cur_win, sems, *, half: int, iters: int,
-               conv_eps: float, height: int, width: int):
+               conv_eps: float, height: int, width: int,
+               fb_iters: int = 0):
     """Slab-batched LK: the program's PTS_PER_PROG points iterate TOGETHER.
 
     Per iteration, each point contributes one dynamic slab extraction
@@ -193,37 +194,43 @@ def _lk_kernel(bases_ref, floats_ref, prev_hbm, cur_hbm, out_ref,
     # sample(u+1, v) is exactly sample(u, v) shifted one column — one
     # (tx-1, ty-1)-origin sample + static shifts replaces 5 samples (valid
     # extent P+2 <= SLAB-1 rows / PL-1 cols; pads land outside pmask)
-    S = sample_batched(prev_win, tx - 1.0, ty - 1.0)
+    def make_template(wins, x_vec, y_vec):
+        S = sample_batched(wins, x_vec - 1.0, y_vec - 1.0)
 
-    def shifted(dr, dc):
-        # static cyclic rolls (jnp.pad does not lower in Mosaic); wrapped
-        # rows/cols land at per-point indices >= P, outside pmask (needs
-        # SLAB >= P + 2 and PL >= P + 2, both guaranteed by _slab_rows).
-        # pltpu.roll requires non-negative static shifts: roll by the
-        # cyclic complement.
-        r = pltpu.roll(S, SLAB - dr, 1) if dr else S
-        return pltpu.roll(r, PL - dc, 2) if dc else r
+        def shifted(dr, dc):
+            # static cyclic rolls (jnp.pad does not lower in Mosaic);
+            # wrapped rows/cols land at per-point indices >= P, outside
+            # pmask (needs SLAB >= P + 2 and PL >= P + 2, both guaranteed
+            # by _slab_rows). pltpu.roll requires non-negative static
+            # shifts: roll by the cyclic complement.
+            r = pltpu.roll(S, SLAB - dr, 1) if dr else S
+            return pltpu.roll(r, PL - dc, 2) if dc else r
 
-    tpl = shifted(1, 1)
-    gx = 0.5 * (shifted(1, 2) - shifted(1, 0))
-    gy = 0.5 * (shifted(2, 1) - shifted(0, 1))
+        tpl = shifted(1, 1)
+        gx = 0.5 * (shifted(1, 2) - shifted(1, 0))
+        gy = 0.5 * (shifted(2, 1) - shifted(0, 1))
 
-    h00 = psum2(gx * gx * pmask3) + 1e-6
-    h01 = psum2(gx * gy * pmask3)
-    h02 = psum2(gx * pmask3)
-    h11 = psum2(gy * gy * pmask3) + 1e-6
-    h12 = psum2(gy * pmask3)
-    h22 = psum2(jnp.broadcast_to(pmask3, gx.shape)) + 1e-6
-    # closed-form 3x3 symmetric inverse (cofactors / det), (PTS,) vectors
-    c00 = h11 * h22 - h12 * h12
-    c01 = h02 * h12 - h01 * h22
-    c02 = h01 * h12 - h02 * h11
-    c11 = h00 * h22 - h02 * h02
-    c12 = h01 * h02 - h00 * h12
-    c22 = h00 * h11 - h01 * h01
-    det = h00 * c00 + h01 * c01 + h02 * c02
-    det = jnp.where(jnp.abs(det) < 1e-10, 1e-10, det)
-    inv_det = 1.0 / det
+        h00 = psum2(gx * gx * pmask3) + 1e-6
+        h01 = psum2(gx * gy * pmask3)
+        h02 = psum2(gx * pmask3)
+        h11 = psum2(gy * gy * pmask3) + 1e-6
+        h12 = psum2(gy * pmask3)
+        h22 = psum2(jnp.broadcast_to(pmask3, gx.shape)) + 1e-6
+        # closed-form 3x3 symmetric inverse (cofactors / det)
+        c00 = h11 * h22 - h12 * h12
+        c01 = h02 * h12 - h01 * h22
+        c02 = h01 * h12 - h02 * h11
+        c11 = h00 * h22 - h02 * h02
+        c12 = h01 * h02 - h00 * h12
+        c22 = h00 * h11 - h01 * h01
+        det = h00 * c00 + h01 * c01 + h02 * c02
+        det = jnp.where(jnp.abs(det) < 1e-10, 1e-10, det)
+        inv_det = 1.0 / det
+        return (tpl, gx, gy, (c00, c01, c02, c11, c12, c22, inv_det,
+                              h02, h12, h22))
+
+    tpl, gx, gy, cof = make_template(prev_win, tx, ty)
+    (c00, c01, c02, c11, c12, c22, inv_det, h02, h12, h22) = cof
 
     lo = jnp.float32(half + 1)
     # upper bounds chosen so the slice clamp (iyc/ixc) can never engage
@@ -241,47 +248,55 @@ def _lk_kernel(bases_ref, floats_ref, prev_hbm, cur_hbm, out_ref,
 
     # loop carry uses f32 masks (1.0/0.0): Mosaic fails to legalize bool
     # vectors through the while_loop yield
-    def cond(state):
-        i, u, v, md, active, failed = state
-        return (i < iters) & (jnp.max(active) > 0.5)
+    def run_lk(search_win, tplA, gxA, gyA, cofA, u_init, v_init, runf,
+               n_iters):
+        (a00, a01, a02, a11, a12, a22, ainv_det, ah02, ah12, ah22) = cofA
 
-    def body(state):
-        i, u, v, md, active, failed = state
-        cur = sample_batched(cur_win, u, v)
-        # the illumination term enters the normal equations as
-        # sum((cur - tpl + md) g pmask) = sum((cur - tpl) g pmask) + md*h_g
-        # — folding md into (PTS,)-vector math avoids materializing a
-        # (PTS, SLAB, PL) broadcast tensor each iteration
-        r = (cur - tpl) * pmask3
-        b0 = psum2(r * gx) + md * h02
-        b1 = psum2(r * gy) + md * h12
-        b2 = psum2(r) + md * h22
-        du = -(c00 * b0 + c01 * b1 + c02 * b2) * inv_det
-        dv = -(c01 * b0 + c11 * b1 + c12 * b2) * inv_det
-        dm = -(c02 * b0 + c12 * b1 + c22 * b2) * inv_det
-        u_raw = u + du
-        v_raw = v + dv
-        # a step that leaves the window is a FAILURE, not a clamp: the
-        # clamped point would sit at the window edge with a tiny step
-        # and report convergence at a garbage position
-        out = ((u_raw < lo) | (u_raw > hi_x)
-               | (v_raw < lo) | (v_raw > hi_y)).astype(jnp.float32)
-        failed = jnp.maximum(failed, active * out)
-        u_new = jnp.clip(u_raw, lo, hi_x)
-        v_new = jnp.clip(v_raw, lo, hi_y)
-        step2 = du * du + dv * dv
-        u = u + active * (u_new - u)
-        v = v + active * (v_new - v)
-        md = md + active * dm
-        small = (step2 < conv_eps * conv_eps).astype(jnp.float32)
-        active = active * (1.0 - small) * (1.0 - failed)
-        return i + 1, u, v, md, active, failed
+        def cond(state):
+            i, u, v, md, active, failed = state
+            return (i < n_iters) & (jnp.max(active) > 0.5)
+
+        def body(state):
+            i, u, v, md, active, failed = state
+            cur = sample_batched(search_win, u, v)
+            # the illumination term enters the normal equations as
+            # sum((cur - tpl + md) g pmask) = sum((cur-tpl) g pmask)+md*h_g
+            # — folding md into (PTS,)-vector math avoids materializing a
+            # (PTS, SLAB, PL) broadcast tensor each iteration
+            r = (cur - tplA) * pmask3
+            b0 = psum2(r * gxA) + md * ah02
+            b1 = psum2(r * gyA) + md * ah12
+            b2 = psum2(r) + md * ah22
+            du = -(a00 * b0 + a01 * b1 + a02 * b2) * ainv_det
+            dv = -(a01 * b0 + a11 * b1 + a12 * b2) * ainv_det
+            dm = -(a02 * b0 + a12 * b1 + a22 * b2) * ainv_det
+            u_raw = u + du
+            v_raw = v + dv
+            # a step that leaves the window is a FAILURE, not a clamp: the
+            # clamped point would sit at the window edge with a tiny step
+            # and report convergence at a garbage position
+            out = ((u_raw < lo) | (u_raw > hi_x)
+                   | (v_raw < lo) | (v_raw > hi_y)).astype(jnp.float32)
+            failed = jnp.maximum(failed, active * out)
+            u_new = jnp.clip(u_raw, lo, hi_x)
+            v_new = jnp.clip(v_raw, lo, hi_y)
+            step2 = du * du + dv * dv
+            u = u + active * (u_new - u)
+            v = v + active * (v_new - v)
+            md = md + active * dm
+            small = (step2 < conv_eps * conv_eps).astype(jnp.float32)
+            active = active * (1.0 - small) * (1.0 - failed)
+            return i + 1, u, v, md, active, failed
+
+        _, u, v, md, active, failed = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), u_init, v_init, jnp.zeros((PTS,), jnp.float32),
+             runf, jnp.zeros((PTS,), jnp.float32)))
+        return u, v, md, active, failed
 
     runf = run.astype(jnp.float32)
-    _, u, v, md, active, failed = jax.lax.while_loop(
-        cond, body,
-        (jnp.int32(0), ux0, uy0, jnp.zeros((PTS,), jnp.float32), runf,
-         jnp.zeros((PTS,), jnp.float32)))
+    u, v, md, active, failed = run_lk(cur_win, tpl, gx, gy, cof,
+                                      ux0, uy0, runf, iters)
     converged = run & (active < 0.5) & (failed < 0.5)
     # mean |residual| at the solution (diagnostic output; one extra sample
     # instead of per-iteration bookkeeping). md enters as a (PTS, 1, 1)
@@ -300,6 +315,25 @@ def _lk_kernel(bases_ref, floats_ref, prev_hbm, cur_hbm, out_ref,
            + jnp.where(lane == 1, oy[:, None], 0.0)
            + jnp.where(lane == 2, converged.astype(jnp.float32)[:, None], 0.0)
            + jnp.where(lane == 3, err[:, None], 0.0))
+    if fb_iters > 0:
+        # fused forward-backward consistency check: re-track from the
+        # forward solution back toward the template position using the SAME
+        # two VMEM windows — template now cut from the search window at
+        # (u, v), search in the template window starting at (tx, ty). A
+        # separate backward kernel launch would re-pay both window DMAs and
+        # the full per-point setup (~2 us/point); here it costs one extra
+        # template build + fb_iters loop iterations.
+        tplB, gxB, gyB, cofB = make_template(cur_win, u, v)
+        ub, vb, _, activeb, failedb = run_lk(
+            prev_win, tplB, gxB, gyB, cofB, tx, ty,
+            converged.astype(jnp.float32), fb_iters)
+        fb_conv = converged & (activeb < 0.5) & (failedb < 0.5)
+        fb_d2 = (ub - tx) * (ub - tx) + (vb - ty) * (vb - ty)
+        fb_d2 = jnp.where(fb_conv, fb_d2, 1e9)
+        row = (row
+               + jnp.where(lane == 4,
+                           fb_conv.astype(jnp.float32)[:, None], 0.0)
+               + jnp.where(lane == 5, fb_d2[:, None], 0.0))
     out_ref[:, :] = row
 
 
@@ -308,17 +342,22 @@ def _round_up(x, m):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("half", "iters", "conv_eps", "interpret"))
+                   static_argnames=("half", "iters", "conv_eps", "interpret",
+                                    "fb_iters"))
 def patch_align_pallas(prev_img: jax.Array, cur_img: jax.Array,
                        pts: jax.Array, init_xy: jax.Array, valid: jax.Array,
                        half: int = 10, iters: int = 30,
                        conv_eps: float = 0.01,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       fb_iters: int = 0):
     """Full LK for N points in one kernel launch.
 
     prev_img/cur_img: (H, W) float32. pts: (N, 2) template centers in prev.
     init_xy: (N, 2) starting positions in cur. Returns (xy (N, 2),
-    converged (N,), err (N,)).
+    converged (N,), err (N,)); with fb_iters > 0, additionally
+    (fb_conv (N,), fb_d2 (N,)) — the fused forward-backward consistency
+    check (squared pixel distance of the back-track to the template
+    center; 1e9 where the back-track failed).
     """
     h, w = prev_img.shape
     N0 = pts.shape[0]
@@ -369,7 +408,8 @@ def patch_align_pallas(prev_img: jax.Array, cur_img: jax.Array,
     )
     out = pl.pallas_call(
         functools.partial(_lk_kernel, half=half, iters=iters,
-                          conv_eps=conv_eps, height=h, width=w),
+                          conv_eps=conv_eps, height=h, width=w,
+                          fb_iters=fb_iters),
         out_shape=jax.ShapeDtypeStruct((N, WIN_LANES), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -382,4 +422,9 @@ def patch_align_pallas(prev_img: jax.Array, cur_img: jax.Array,
     # final in-image check at level resolution
     inb = ((xy[:, 0] >= half) & (xy[:, 0] < w - half)
            & (xy[:, 1] >= half) & (xy[:, 1] < h - half))
-    return xy, converged & inb & valid, err
+    conv = converged & inb & valid
+    if fb_iters > 0:
+        fb_conv = (out[:, 4] > 0.5) & conv
+        fb_d2 = out[:, 5]
+        return xy, conv, err, fb_conv, fb_d2
+    return xy, conv, err
