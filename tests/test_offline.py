@@ -73,3 +73,25 @@ def test_offline_matches_live_loop():
     ate = metrics.ate_rmse(p_off, gt, align=True)
     assert ate < 0.02, ate
     assert int(np.asarray(res.num_inliers)[-1]) > 50
+
+
+def test_offline_dense_rights_match_sparse_rights():
+    """Datasets where EVERY frame carries a right image (recorded stereo,
+    e.g. KITTI) must produce the same trajectory as the cadence-only-rights
+    form: prepare() stacks only the rights the schedule consumes, so
+    right_idx cannot shift onto the wrong image (the r3 advisor's
+    high-severity finding: with dense rights, keyframes stereo-matched
+    against earlier frames' rights)."""
+    cfg = small_config()
+    seq = PlaneSequence(cfg.camera, depth=8.0)
+    gt = lateral_trajectory(12, step=0.03)
+    pairs = [seq.stereo_pair(T, BASELINE_M) for T in gt]
+    dense = [(L, R) for L, R in pairs]
+    sparse = [(L, R if (i == 0 or (i + 1) % cfg.keyframe_every == 0)
+               else None) for i, (L, R) in enumerate(pairs)]
+
+    vo_d = OfflineStereoVO(cfg)
+    vo_d.run(dense)
+    vo_s = OfflineStereoVO(cfg)
+    vo_s.run(sparse)
+    np.testing.assert_allclose(vo_d.poses(), vo_s.poses(), atol=1e-5)

@@ -226,6 +226,9 @@ class LoopCloser:
 
     def _stage_pending(self, used_after, top_idx, scores, desc, valid,
                        nodes, kp_xy, T_cw, kf_node):
+        # Overwrites an unconsumed verdict: with the two-phase consumption
+        # (2-3 frames) a keyframe cadence of 2 drops every other query —
+        # harmless, since a fresh query fires at every keyframe anyway.
         if used_after <= self.exclude_recent:
             return
         if self._detect_cooldown > 0:
