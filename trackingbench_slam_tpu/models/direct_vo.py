@@ -93,13 +93,12 @@ class DirectVO:
         if img_right is not None:
             right = make_frame(img_right, 1, cfg.pyramid.num_levels,
                                cfg.pyramid.scale_factor, blur=False)
+            # forward-backward check fused into the forward kernel launch
+            # (see models/vo.py keyframe_step / ops/pallas/lk_kernel.py)
             lk = lk_pyramidal(f.lk_pyr, right.lk_pyr, f.kp_xy, f.valid, 0.5,
-                              half=10, iters=30, num_levels=len(f.lk_pyr))
-            lk_back = lk_pyramidal(right.lk_pyr, f.lk_pyr, lk.xy, f.valid,
-                                   0.5, half=10, iters=30,
-                                   num_levels=len(f.lk_pyr))
-            fb_ok = (lk_back.converged
-                     & (jnp.sum((lk_back.xy - f.kp_xy) ** 2, axis=-1) < 1.0))
+                              half=10, iters=30, num_levels=len(f.lk_pyr),
+                              fb_iters=10)
+            fb_ok = lk.fb_conv & (lk.fb_d2 < 1.0)
             depth, disp_ok = tri.stereo_depth(self.cam.bf, f.kp_xy[:, 0],
                                               lk.xy[:, 0])
             has_lm = (f.valid & lk.converged & fb_ok & disp_ok
