@@ -147,22 +147,16 @@ def time_pipeline(cfg, frames, gt, label):
 
     vo = StereoVO(cfg)
 
-    # 2-frame upload prefetcher: device_put the next frames while the
-    # current one computes, so tunnel/PCIe transfer overlaps device time
-    pending = {}
-
-    def put(i):
-        if i >= len(frames) or i in pending:
-            return
-        left, right = frames[i]
-        pending[i] = (jax.device_put(left),
-                      jax.device_put(right) if right is not None else None)
+    # threaded double-buffer upload: frame t+1 ships over the tunnel/PCIe
+    # on a worker thread while frame t computes. The previous same-thread
+    # device_put prefetch only REORDERED the stall — jax.device_put blocks
+    # on the transfer, so the tracking thread still paid ~32 ms/frame
+    # (BENCH_r04 device_put_image_ms vs 15.4 ms of compute).
+    from trackingbench_slam_tpu.utils.prefetch import DevicePrefetcher
+    pf = DevicePrefetcher(frames, depth=2)
 
     def step(i):
-        put(i)
-        put(i + 1)
-        put(i + 2)
-        vo.track(*pending.pop(i))
+        vo.track(*pf[i])
 
     # warmup: run the first full cycle incl. a local-BA keyframe (compile
     # track + keyframe + BA paths)
@@ -177,11 +171,12 @@ def time_pipeline(cfg, frames, gt, label):
     dt = time.time() - t0
     n = len(frames) - warm
     fps = n / dt
-    ate = metrics.ate_rmse(vo.poses(), gt, align=True)
+    P = vo.poses()
+    ate = metrics.ate_rmse(P, gt, align=True)
     print(f"[{label}] {n} frames in {dt:.2f}s = {fps:.2f} fps, "
           f"ATE {ate * 100:.2f} cm, inliers {int(vo.state.num_inliers)}",
           file=sys.stderr)
-    return fps, ate
+    return fps, ate, P
 
 
 def time_cpu_reference(cfg, frames, gt, max_frames=None):
@@ -224,7 +219,7 @@ def time_cpu_reference(cfg, frames, gt, max_frames=None):
     ate = metrics.ate_rmse(vo.poses(), gt[:len(sub)], align=True)
     print(f"[cpu-reference] {len(sub) - 1} frames in {dt:.2f}s = "
           f"{fps:.2f} fps, ATE {ate * 100:.2f} cm", file=sys.stderr)
-    return fps, ate
+    return fps, ate, len(sub)
 
 
 def stage_timings(cfg, frames, reps=5):
@@ -275,6 +270,23 @@ def stage_timings(cfg, frames, reps=5):
     for _ in range(reps):
         jax.device_put(himg).block_until_ready()
     out["device_put_image_ms"] = round((time.time() - t0) / reps * 1000, 2)
+    # the overlap proof (VERDICT r4 next #2): upload on the worker thread
+    # WHILE track_step runs — per-frame wall should be ~max(track, upload),
+    # not their sum, making the upload invisible in the frame budget
+    import concurrent.futures as _f
+    pool = _f.ThreadPoolExecutor(max_workers=1)
+    s = st
+    fut = pool.submit(lambda: jax.device_put(himg).block_until_ready())
+    t0 = time.time()
+    for _ in range(reps):
+        nxt = pool.submit(lambda: jax.device_put(himg).block_until_ready())
+        s = vo.track_step(s, L1j, cam, cfg)
+        fut.result()
+        fut = nxt
+    fence(s)
+    pool.shutdown(wait=False)
+    out["track_step_with_threaded_upload_ms"] = round(
+        (time.time() - t0) / reps * 1000, 2)
     return out
 
 
@@ -376,6 +388,61 @@ def loop_closing_bench(cfg, baseline, n=96):
         if with_lc:
             out[key]["loops_closed"] = len(vo.loop_events)
     print(f"[loop-bench] {out}", file=sys.stderr)
+    return out
+
+
+def kernel_efficiency_bench():
+    """MFU/roofline block for the three hot kernels (VERDICT r4 next #5):
+    bytes moved + FLOPs vs chip peaks, with a memory- vs issue-bound
+    verdict per kernel. Analytic counts + measured times; see
+    benchmarks/kernel_efficiency.py."""
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "benchmarks"))
+    from kernel_efficiency import measure
+    return measure(reps=6)
+
+
+def photometric_stress_bench(cfg, frames, gt):
+    """ATE under photometric stress (exposure flicker + vignetting + noise
+    + moving occluder) with and without the CLAHE track config — the first
+    recorded config that actually exercises ops/image.clahe in the loop
+    (VERDICT r4 next #6). Stress is a numpy post-process on the cached
+    renders, so no re-raycasting."""
+    import dataclasses as _dc
+    import numpy as np
+    from trackingbench_slam_tpu.models.vo import StereoVO
+    from trackingbench_slam_tpu.utils import metrics
+    from trackingbench_slam_tpu.utils.synthetic import photometric_stress
+
+    def u8(a):
+        return np.clip(a, 0, 255).astype(np.uint8)
+
+    stressed = []
+    for i, (L, R) in enumerate(frames):
+        Ls = u8(photometric_stress(L.astype(np.float32), i))
+        Rs = (u8(photometric_stress(R.astype(np.float32), i))
+              if R is not None else None)
+        stressed.append((Ls, Rs))
+
+    from trackingbench_slam_tpu.utils.prefetch import DevicePrefetcher
+    out = {}
+    for eq in (False, True):
+        c = _dc.replace(cfg, matcher=_dc.replace(cfg.matcher, equalize=eq))
+        vo = StereoVO(c)
+        pf = DevicePrefetcher(stressed, depth=2)
+        warm = min(2 * c.keyframe_every + 1, len(stressed) - 1)
+        for i in range(warm):
+            vo.track(*pf[i])
+        _fence(vo)
+        t0 = time.time()
+        for i in range(warm, len(stressed)):
+            vo.track(*pf[i])
+        _fence(vo)
+        fps = (len(stressed) - warm) / (time.time() - t0)
+        ate = metrics.ate_rmse(vo.poses(), gt, align=True)
+        out["clahe" if eq else "plain"] = {
+            "fps": round(fps, 2), "ate_rmse_m": round(ate, 5)}
+    print(f"[photometric-stress] {out}", file=sys.stderr)
     return out
 
 
@@ -613,18 +680,26 @@ def main():
     frames, gt = render_frames(cfg, baseline, n)
 
     dev = jax.devices()[0]
-    fps_dev, ate = time_pipeline(cfg, frames, gt, dev.platform)
+    fps_dev, ate, P_dev = time_pipeline(cfg, frames, gt, dev.platform)
     if args.skip_cpu_ref:
-        fps_cpu, ate_cpu = float("nan"), float("nan")
+        fps_cpu, ate_cpu, n_cpu = float("nan"), float("nan"), 0
     else:
-        fps_cpu, ate_cpu = time_cpu_reference(cfg, frames, gt)
+        fps_cpu, ate_cpu, n_cpu = time_cpu_reference(cfg, frames, gt)
     oracle = real_data_depth_error()
     extra = {"ate_rmse_m": round(ate, 5), "platform": dev.platform,
              "cpu_reference_fps": round(fps_cpu, 3),
              "cpu_reference_ate_m": round(ate_cpu, 5),
+             "cpu_reference_frames": n_cpu,
              "scene": "corridor+yaw (depth 4-40m)",
              "real_depth_oracle_median_rel_err":
                  round(oracle, 5) if oracle is not None else None}
+    if 0 < n_cpu < len(frames):
+        # the budget cap truncated the CPU pass: ATE grows with trajectory
+        # length, so also report the DEVICE ATE over the same prefix — the
+        # apples-to-apples accuracy pair (ADVICE r4)
+        from trackingbench_slam_tpu.utils import metrics as _metrics
+        extra["ate_rmse_m_at_cpu_frames"] = round(
+            _metrics.ate_rmse(P_dev[:n_cpu], gt[:n_cpu], align=True), 5)
     if _time_left() > 90:
         try:
             extra["stage_ms"] = stage_timings(cfg, frames)
@@ -645,15 +720,23 @@ def main():
             print("loop-closing bench skipped: bench budget spent",
                   file=sys.stderr)
         for name, fn in (
-                # priority order under the wall-clock budget: the BASELINE
-                # BA metric first, then the dp axis, then the offline scan
-                # (which compiles the whole-sequence program — minutes over
-                # a remote tunnel on first run, hence the extra headroom)
+                # priority order under the wall-clock budget: the offline
+                # scan FIRST (the flagship whole-sequence lax.scan program
+                # never got a recorded TPU number in rounds 1-4 because it
+                # ran last — VERDICT r4 weak #2; its compile is minutes over
+                # a remote tunnel, hence the headroom), then the BASELINE BA
+                # metric, then the dp axis
+                ("offline_scan", lambda: offline_scan_bench(cfg, frames)),
+                ("kernel_efficiency", kernel_efficiency_bench),
+                ("photometric_stress",
+                 lambda: photometric_stress_bench(cfg, frames, gt)),
                 ("ba_scaling", ba_scaling_bench),
                 ("dp_eval", lambda: dp_eval_bench(cfg, frames)),
-                ("offline_scan", lambda: offline_scan_bench(cfg, frames)),
         ):
-            need = 300 if name == "offline_scan" else 120
+            if name == "kernel_efficiency" and dev.platform == "cpu":
+                continue        # Pallas kernels are TPU-only (no interpret)
+            need = {"offline_scan": 300,
+                    "photometric_stress": 240}.get(name, 120)
             if _time_left() > need:
                 try:
                     extra[name] = fn()

@@ -104,6 +104,7 @@ def track_step(state: VOState, img: jax.Array, cam: cam_mod.CameraParams,
     res, xy = matchers.search_by_opflow(
         f_cur, state.prev, sub, cfg.matcher,
         scale=cfg.pyramid.scale_factor, use_ransac=True,
+        equalized=cfg.matcher.equalize,
         num_levels=nlv, init_offset=init_off)
     # refresh the constant-velocity prior: median flow of tracked points
     # (median, not mean: robust to the stragglers RANSAC hasn't seen yet)

@@ -111,8 +111,13 @@ def distributed_bundle_adjust(mesh: Mesh, cam: cam_mod.CameraParams,
                               num_fixed: int = 1,
                               stereo_weight: float = 1.0):
     """Returns (T_cw (K,4,4), points (D*M_loc,3)). jit-compatible."""
-    fn = _flat_solver(mesh, sp.T_cw.shape[0], iters, huber_delta,
-                      init_lambda, num_fixed, stereo_weight)
+    # coerce to python floats: the lru_cache below hashes these, and a
+    # jax/numpy scalar (accepted before the cache existed, when the values
+    # were only closed over) is unhashable (ADVICE r4)
+    huber_delta = None if huber_delta is None else float(huber_delta)
+    fn = _flat_solver(mesh, sp.T_cw.shape[0], int(iters), huber_delta,
+                      float(init_lambda), int(num_fixed),
+                      float(stereo_weight))
     obs_ur = sp.obs_ur
     if obs_ur is None:  # mono problem: explicit all-mono stereo column
         obs_ur = jnp.full(sp.obs_valid.shape, -1.0, jnp.float32)
@@ -241,8 +246,10 @@ def distributed_bundle_adjust_grouped(mesh: Mesh, cam: cam_mod.CameraParams,
     K = gp.T_cw.shape[0]
     if fixed_mask is None:
         fixed_mask = jnp.arange(K) < num_fixed
-    fn = _grouped_solver(mesh, K, iters, huber_delta, init_lambda,
-                         stereo_weight)
+    # coerce to hashable python scalars for the lru_cache (ADVICE r4)
+    huber_delta = None if huber_delta is None else float(huber_delta)
+    fn = _grouped_solver(mesh, K, int(iters), huber_delta,
+                         float(init_lambda), float(stereo_weight))
     obs_ur = gp.obs_ur
     if obs_ur is None:  # mono problem: explicit all-mono stereo column
         obs_ur = jnp.full(gp.obs_valid.shape, -1.0, jnp.float32)

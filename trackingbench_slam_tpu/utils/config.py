@@ -106,6 +106,11 @@ class MatcherConfig:
     check_orientation: bool = True
     search_radius: float = 15.0  # windowed search radius in px at level 0
     max_matches: int = 2048  # static capacity of a match set
+    # CLAHE-equalize both pyramids before frame-to-frame LK tracking
+    # (Frame::Equalize applied by searchByOPFlow, Frame.cpp:453-458 /
+    # matcher.cpp:737-742) — stabilizes tracking under exposure flicker /
+    # vignetting at the cost of one histogram pass per pyramid level
+    equalize: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -330,3 +330,40 @@ def lateral_trajectory(n: int, step: float = 0.04, yaw_amp: float = 0.01):
         T_wc[:3, 3] = c
         poses.append(np.linalg.inv(T_wc))
     return np.stack(poses)
+
+
+def photometric_stress(img: np.ndarray, frame_index: int, seed: int = 0,
+                       flicker: float = 0.25, vignette: float = 0.35,
+                       noise: float = 3.0, occluder: float = 0.12):
+    """Deterministic photometric degradation of a rendered frame: per-frame
+    exposure flicker (gain+bias), radial vignetting, sensor noise, and a
+    moving dark occluder strip. This is the stress battery the CLAHE path
+    exists for (the reference equalizes inside searchByOPFlow precisely to
+    survive exposure change, src/types/Frame.cpp:453-458) — clean renders
+    never exercise it (VERDICT r4 next #6).
+
+    Pure numpy post-process, a function of (image, frame_index, seed) only,
+    so cached renders can be stressed without re-raycasting.
+    """
+    h, w = img.shape
+    r = np.random.RandomState(seed * 100003 + frame_index)
+    out = img.astype(np.float32)
+    if flicker > 0:
+        # slow sinusoidal exposure drift + per-frame jitter
+        gain = 1.0 + flicker * np.sin(frame_index * 0.7) \
+            + 0.05 * r.randn()
+        bias = 12.0 * np.sin(frame_index * 0.45 + 1.0)
+        out = out * gain + bias
+    if vignette > 0:
+        ys, xs = np.mgrid[0:h, 0:w]
+        r2 = (((xs - w / 2) / (w / 2)) ** 2
+              + ((ys - h / 2) / (h / 2)) ** 2)
+        out = out * (1.0 - vignette * r2).astype(np.float32)
+    if noise > 0:
+        out = out + r.randn(h, w).astype(np.float32) * noise
+    if occluder > 0:
+        # dark strip sweeping across the image (wiper/pillar analogue)
+        ow = max(int(w * occluder), 1)
+        x0 = int((frame_index * 0.035 % 1.0) * (w - ow))
+        out[:, x0:x0 + ow] *= 0.25
+    return np.clip(out, 0.0, 255.0)

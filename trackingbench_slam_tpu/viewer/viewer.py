@@ -37,11 +37,15 @@ class Viewer:
     def __init__(self, out_dir: str = "/tmp/tbs_viewer",
                  every: int = 10, live: bool = False,
                  port: int = 8764, follow: bool = False,
-                 follow_radius: float = 15.0):
+                 follow_radius: float = 15.0, host: str = "127.0.0.1"):
         self.out_dir = out_dir
         self.every = every
         self.live = live
         self.port = port
+        # loopback by default: the live server exposes out_dir with no auth,
+        # so binding all interfaces is an opt-in (host="0.0.0.0"), not the
+        # default (ADVICE r4)
+        self.host = host
         self.follow = follow
         self.follow_radius = follow_radius
         self._q: queue.Queue = queue.Queue(maxsize=8)
@@ -111,9 +115,9 @@ class Viewer:
 
         try:
             self._httpd = http.server.ThreadingHTTPServer(
-                ("0.0.0.0", self.port), Quiet)
+                (self.host, self.port), Quiet)
         except OSError:  # port busy: pick any free port
-            self._httpd = http.server.ThreadingHTTPServer(("0.0.0.0", 0),
+            self._httpd = http.server.ThreadingHTTPServer((self.host, 0),
                                                           Quiet)
         self.port = self._httpd.server_address[1]
         self._http_thread = threading.Thread(
