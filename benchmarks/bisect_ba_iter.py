@@ -134,6 +134,25 @@ def main():
         ok = gp.obs_valid & (gp.obs_kf >= 0) & (pc[..., 2] > 0.05)
         return jnp.sum(jnp.where(ok, lba._huber_rho(chi2, HD), 0.0))
 
+    @jax.jit
+    def p_iter1(gp):
+        # ONE full LM iteration open-coded in a single program: if this
+        # matches the loop's marginal per-iteration cost, the math is the
+        # cost; if it matches the sum of the isolated component probes,
+        # the fori_loop structure itself is adding overhead
+        U, V, Wb, bp, bl, c0 = lba.build_grouped_blocks(
+            cam, gp.T_cw, gp.points, gp, HD)
+        dxi, dX = lba.schur_solve(U, V, Wb, bp, bl, jnp.float32(1e-4))
+        from trackingbench_slam_tpu.geometry import se3
+        T_new = jax.vmap(lambda d, T: se3.compose(se3.exp(d), T))(
+            dxi, gp.T_cw)
+        X_new = gp.points + dX
+        r, pc, _, _, row_ok = lba._grouped_residuals(cam, T_new, X_new, gp)
+        chi2 = lba._grouped_chi2(r, row_ok, gp.obs_inv_sigma2)
+        ok = gp.obs_valid & (gp.obs_kf >= 0) & (pc[..., 2] > 0.05)
+        c1 = jnp.sum(jnp.where(ok, lba._huber_rho(chi2, HD), 0.0))
+        return ssum(T_new, X_new, c0, c1)
+
     @functools.partial(jax.jit, static_argnames=("iters",))
     def p_loop(gp, iters):
         T, X = lba.bundle_adjust_grouped.__wrapped__(
@@ -145,10 +164,16 @@ def main():
     probe("vinv only", p_vinv, argsB, base)
     probe("schur_solve", p_schur, argsB, base)
     probe("cost pass", p_cost, args1, base)
-    t2 = probe("loop 2 iters", lambda gp: p_loop(gp, iters=2), args1, base)
-    t12 = probe("loop 12 iters", lambda gp: p_loop(gp, iters=12), args1,
-                base)
-    print(f"{'per-iteration (hi-lo)':24s} {(t12 - t2) / 10:8.2f} ms",
+    probe("iter1 open-coded", p_iter1, args1, base)
+    ts = {}
+    for it in (2, 4, 8, 12):
+        ts[it] = probe(f"loop {it} iters",
+                       lambda gp, it=it: p_loop(gp, iters=it), args1, base)
+    print(f"{'per-iteration (12-2)':24s} {(ts[12] - ts[2]) / 10:8.2f} ms",
+          flush=True)
+    print(f"{'per-iteration (4-2)':24s} {(ts[4] - ts[2]) / 2:8.2f} ms",
+          flush=True)
+    print(f"{'per-iteration (12-8)':24s} {(ts[12] - ts[8]) / 4:8.2f} ms",
           flush=True)
 
 

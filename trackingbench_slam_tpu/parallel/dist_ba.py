@@ -155,7 +155,7 @@ def _flat_solver(mesh: Mesh, K: int, iters: int, huber_delta, init_lambda,
             U, V, Wb, bp, bl, _ = local_ba.build_ba_blocks(
                 cam, T, X, prob, huber_delta, stereo_weight)
             # local Schur contributions
-            Vinv = jnp.linalg.inv(local_ba.damp_diagonal(V, lam, 3))
+            Vinv = local_ba.inv3x3_sym(local_ba.damp_diagonal(V, lam, 3))
             T1 = jnp.einsum("mkij,mjl->mkil", Wb, Vinv,
                             precision=jax.lax.Precision.HIGHEST)
             S_local = -jnp.einsum("maij,mbkj->aibk", T1, Wb,
@@ -273,21 +273,19 @@ def _grouped_solver(mesh: Mesh, K: int, iters: int, huber_delta,
             T_cw=T_cw, points=points, obs_kf=obs_kf, obs_px=obs_px,
             obs_inv_sigma2=obs_is, obs_valid=obs_va, obs_ur=obs_ur)
 
-        def total_cost(T, X):
-            r, pc, _, _, row_ok = local_ba._grouped_residuals(
-                cam, T, X, prob, stereo_weight)
-            chi2 = local_ba._grouped_chi2(r, row_ok, obs_is)
-            ok = obs_va & (obs_kf >= 0) & (pc[..., 2] > 0.05)
-            rho = chi2 if huber_delta is None else _huber_rho(chi2,
-                                                              huber_delta)
-            return jax.lax.psum(jnp.sum(jnp.where(ok, rho, 0.0)), lm_axis)
-
-        def body(i, state):
-            T, X, lam, cost = state
-            U, V, Wb, bp, bl, _ = local_ba.build_grouped_blocks(
+        def build(T, X):
+            """Shard-local blocks + GLOBAL (psum'd) cost at (T, X) — the
+            single-sweep LM unit (see local_ba.bundle_adjust_grouped: the
+            build at the trial point doubles as the cost evaluation)."""
+            U, V, Wb, bp, bl, c_local = local_ba.build_grouped_blocks(
                 cam, T, X, prob._replace(T_cw=T, points=X), huber_delta,
                 stereo_weight)
-            Vinv = jnp.linalg.inv(local_ba.damp_diagonal(V, lam, 3))
+            return (U, V, Wb, bp, bl), jax.lax.psum(c_local, lm_axis)
+
+        def body(i, state):
+            T, X, lam, cost, blocks = state
+            U, V, Wb, bp, bl = blocks
+            Vinv = local_ba.inv3x3_sym(local_ba.damp_diagonal(V, lam, 3))
             T1 = jnp.einsum("mkij,mjl->mkil", Wb, Vinv,
                             precision=jax.lax.Precision.HIGHEST)
             S_local = -jnp.einsum("maij,mbkj->aibk", T1, Wb,
@@ -318,7 +316,7 @@ def _grouped_solver(mesh: Mesh, K: int, iters: int, huber_delta,
                             precision=jax.lax.Precision.HIGHEST)
             T_new = jax.vmap(lambda d, t: se3.compose(se3.exp(d), t))(dxi, T)
             X_new = X + dX
-            c_new = total_cost(T_new, X_new)
+            blocks_new, c_new = build(T_new, X_new)
             # never accept a non-finite step (NaN positions fall out of the
             # cost mask and would score 0 — see local_ba.bundle_adjust).
             # dX finiteness is all-reduced: shard-local NaNs don't show in
@@ -330,15 +328,19 @@ def _grouped_solver(mesh: Mesh, K: int, iters: int, huber_delta,
                       & jnp.all(jnp.isfinite(dxi)) & (bad == 0))
             T = jnp.where(accept, T_new, T)
             X = jnp.where(accept, X_new, X)
+            blocks = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(accept, new, old),
+                blocks_new, blocks)
             lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9),
                             jnp.minimum(lam * 10.0, 1e8))
             cost = jnp.where(accept, c_new, cost)
-            return T, X, lam, cost
+            return T, X, lam, cost, blocks
 
-        T, X, lam, cost = jax.lax.fori_loop(
+        blocks0, cost0 = build(T_cw, points)
+        T, X, lam, cost, _ = jax.lax.fori_loop(
             0, iters, body,
             (T_cw, points, jnp.asarray(init_lambda, jnp.float32),
-             total_cost(T_cw, points)))
+             cost0, blocks0))
         return jax.vmap(se3.normalize)(T), X
 
     return jax.jit(shard_map(

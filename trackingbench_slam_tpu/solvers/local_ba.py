@@ -155,6 +155,32 @@ def damp_diagonal(A, lam, n: int):
     return A + (lam * d + 1e-6)[..., None] * jnp.eye(n, dtype=A.dtype)
 
 
+def inv3x3_sym(A):
+    """Closed-form batched 3x3 inverse (adjugate / det) for the damped
+    landmark blocks. jnp.linalg.inv lowers to batched LU with pivoting —
+    control-flow-heavy on TPU; the damped V blocks are symmetric positive
+    definite, so the cofactor formula is exact and pure VPU math. Matches
+    the 3x3 inverse the LK kernel already uses (ops/pallas/lk_kernel.py)."""
+    a00 = A[..., 0, 0]
+    a01 = A[..., 0, 1]
+    a02 = A[..., 0, 2]
+    a11 = A[..., 1, 1]
+    a12 = A[..., 1, 2]
+    a22 = A[..., 2, 2]
+    c00 = a11 * a22 - a12 * a12
+    c01 = a02 * a12 - a01 * a22
+    c02 = a01 * a12 - a02 * a11
+    c11 = a00 * a22 - a02 * a02
+    c12 = a01 * a02 - a00 * a12
+    c22 = a00 * a11 - a01 * a01
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    row0 = jnp.stack([c00, c01, c02], axis=-1)
+    row1 = jnp.stack([c01, c11, c12], axis=-1)
+    row2 = jnp.stack([c02, c12, c22], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2) * inv_det[..., None, None]
+
+
 def schur_solve(U, V, Wb, bp, bl, lam, num_fixed: int = 1,
                 fixed_mask: jax.Array | None = None):
     """Reduced camera system + landmark back-substitution.
@@ -184,9 +210,9 @@ def schur_solve(U, V, Wb, bp, bl, lam, num_fixed: int = 1,
         return damp_diagonal(A, lam, n)
 
     Vd = damp_diag(V, 3)
-    # batched 3x3 inverse via explicit solve (well-conditioned after damping;
+    # batched closed-form 3x3 inverse (well-conditioned after damping;
     # landmarks with no observations get V = eps*I -> dX = bl/eps = 0)
-    Vinv = jnp.linalg.inv(Vd)
+    Vinv = inv3x3_sym(Vd)
     # S = blockdiag(U) - sum_m W_m Vinv_m W_m^T
     T1 = jnp.einsum("mkij,mjl->mkil", Wb, Vinv, precision=HI)  # (M,K,6,3)
     S_off = jnp.einsum("maij,mbkj->aibk", T1, Wb, precision=HI)  # (K,6,K,6)
@@ -316,25 +342,29 @@ def bundle_adjust_grouped(cam: cam_mod.CameraParams, p: GroupedBAProblem,
                           stereo_weight: float = 1.0):
     """LM loop over the grouped (scatter-free) blocks; same Schur solve.
     fixed_mask ((K,) bool, dynamic) overrides num_fixed — see schur_solve.
-    Returns (T_cw (K,4,4), points (L,3))."""
+    Returns (T_cw (K,4,4), points (L,3)).
 
-    def total_cost(T_cw, points):
-        r, pc, _, _, row_ok = _grouped_residuals(cam, T_cw, points, p,
-                                                 stereo_weight)
-        chi2 = _grouped_chi2(r, row_ok, p.obs_inv_sigma2)
-        ok = p.obs_valid & (p.obs_kf >= 0) & (pc[..., 2] > 0.05)
-        rho = chi2 if huber_delta is None else _huber_rho(chi2, huber_delta)
-        return jnp.sum(jnp.where(ok, rho, 0.0))
+    Single-sweep LM: the normal-equation blocks live in the loop CARRY.
+    Each iteration solves from the carried blocks, steps to the trial
+    point, and runs ONE build there — whose returned cost IS the trial
+    cost. Accept adopts the trial state AND its blocks; reject keeps the
+    old blocks (they depend only on (T, X), which didn't move — the r4
+    version rebuilt them anyway AND ran a separate cost-only residual
+    sweep per iteration, ~2 residual sweeps per iteration instead of 1)."""
+
+    def build(T_cw, points):
+        # (build_grouped_blocks reads poses/points from its explicit args;
+        # p only supplies the observation tables)
+        return build_grouped_blocks(cam, T_cw, points, p, huber_delta,
+                                    stereo_weight)
 
     def body(i, state):
-        T_cw, points, lam, cost = state
-        U, V, Wb, bp, bl, _ = build_grouped_blocks(cam, T_cw, points, p,
-                                                   huber_delta,
-                                                   stereo_weight)
+        T_cw, points, lam, cost, blocks = state
+        U, V, Wb, bp, bl = blocks
         dxi, dX = schur_solve(U, V, Wb, bp, bl, lam, num_fixed, fixed_mask)
         T_new = jax.vmap(lambda d, T: se3.compose(se3.exp(d), T))(dxi, T_cw)
         X_new = points + dX
-        c_new = total_cost(T_new, X_new)
+        Ut, Vt, Wbt, bpt, blt, c_new = build(T_new, X_new)
         # a non-finite step must NEVER be accepted: NaN positions fall out
         # of the behind-camera cost mask, so a NaN step scores cost 0 and
         # would silently poison the whole map
@@ -342,15 +372,19 @@ def bundle_adjust_grouped(cam: cam_mod.CameraParams, p: GroupedBAProblem,
                   & jnp.all(jnp.isfinite(dxi)) & jnp.all(jnp.isfinite(dX)))
         T_cw = jnp.where(accept, T_new, T_cw)
         points = jnp.where(accept, X_new, points)
+        blocks = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(accept, new, old),
+            (Ut, Vt, Wbt, bpt, blt), blocks)
         lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9),
                         jnp.minimum(lam * 10.0, 1e8))
         cost = jnp.where(accept, c_new, cost)
-        return T_cw, points, lam, cost
+        return T_cw, points, lam, cost, blocks
 
-    T_cw, points, _, _ = jax.lax.fori_loop(
+    U0, V0, Wb0, bp0, bl0, cost0 = build(p.T_cw, p.points)
+    T_cw, points, _, _, _ = jax.lax.fori_loop(
         0, iters, body,
         (p.T_cw, p.points, jnp.asarray(init_lambda, jnp.float32),
-         total_cost(p.T_cw, p.points)))
+         cost0, (U0, V0, Wb0, bp0, bl0)))
     return jax.vmap(se3.normalize)(T_cw), points
 
 
