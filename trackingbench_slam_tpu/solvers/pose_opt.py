@@ -61,7 +61,10 @@ def _huber_weight(chi2: jax.Array, delta: float) -> jax.Array:
 
 def _normal_equations(cam, T_cw, pts_w, obs_px, inv_sigma2, weight_mask,
                       huber_delta: float | None):
-    """Build (H (6,6), b (6,)) for the current linearization."""
+    """Build (H (6,6), b (6,), cost) for the current linearization. The
+    returned cost is the robust total at THIS state — the single-sweep LM
+    loop below uses it as the trial-point evaluation, so one residual pass
+    serves both roles (the r4 version ran a separate cost-only sweep)."""
     r, pc = _residuals(cam, T_cw, pts_w, obs_px)
     behind = pc[..., 2] <= 0.05
     chi2 = _chi2(r, inv_sigma2)
@@ -75,7 +78,10 @@ def _normal_equations(cam, T_cw, pts_w, obs_px, inv_sigma2, weight_mask,
                    precision=jax.lax.Precision.HIGHEST)
     b = jnp.einsum("nij,ni->j", Jw, r,
                    precision=jax.lax.Precision.HIGHEST)
-    return H, b
+    chi2m = jnp.where(behind, 0.0, chi2)
+    rho = chi2m if huber_delta is None else _huber_rho(chi2m, huber_delta)
+    cost = jnp.sum(jnp.where(weight_mask > 0, rho, 0.0))
+    return H, b, cost
 
 
 def _huber_rho(chi2: jax.Array, delta: float) -> jax.Array:
@@ -127,33 +133,34 @@ def lm_pose_iterations(cam, T0, pts_w, obs_px, inv_sigma2, mask,
     """Fixed-count LM loop with accept/reject (rho-free, chi2-compare — the
     same accept rule g2o's Levenberg uses in practice for this problem).
 
-    State threads (T, lambda, best_chi2); a rejected step raises lambda and
-    keeps T, an accepted step lowers lambda. No data-dependent shapes."""
+    Single-sweep: (H, b) ride the loop carry; the build at the trial point
+    doubles as its cost evaluation (one residual pass per iteration, not
+    two). A rejected step keeps the carried (T, H, b) — they belong to the
+    unmoved state — and only raises lambda."""
+    maskf = mask.astype(T0.dtype)
 
-    def total_cost(T):
-        r, pc = _residuals(cam, T, pts_w, obs_px)
-        chi2 = _chi2(r, inv_sigma2)
-        chi2 = jnp.where(pc[..., 2] <= 0.05, 0.0, chi2)
-        rho = chi2 if huber_delta is None else _huber_rho(chi2, huber_delta)
-        return jnp.sum(jnp.where(mask, rho, 0.0))
+    def build(T):
+        return _normal_equations(cam, T, pts_w, obs_px, inv_sigma2,
+                                 maskf, huber_delta)
 
     def body(i, state):
-        T, lam, cost = state
-        H, b = _normal_equations(cam, T, pts_w, obs_px, inv_sigma2,
-                                 mask.astype(T.dtype), huber_delta)
+        T, lam, cost, H, b = state
         dx = _solve_damped(H, b, lam)
         T_new = se3.compose(se3.exp(dx), T)
-        cost_new = total_cost(T_new)
+        H_t, b_t, cost_new = build(T_new)
         accept = cost_new < cost
         T = jnp.where(accept, T_new, T)
+        H = jnp.where(accept, H_t, H)
+        b = jnp.where(accept, b_t, b)
         lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9),
                         jnp.minimum(lam * 4.0, 1e6))
         cost = jnp.where(accept, cost_new, cost)
-        return T, lam, cost
+        return T, lam, cost, H, b
 
-    T, lam, cost = jax.lax.fori_loop(
+    H0, b0, cost0 = build(T0)
+    T, lam, cost, _, _ = jax.lax.fori_loop(
         0, iters, body, (T0, jnp.asarray(init_lambda, T0.dtype),
-                         total_cost(T0)))
+                         cost0, H0, b0))
     return se3.normalize(T), cost
 
 
