@@ -45,9 +45,21 @@ from trackingbench_slam_tpu.utils.config import PipelineConfig
 
 
 def build_window_problem_grouped(m, kfs, scale_factor: float,
-                                 max_landmarks: int):
+                                 max_landmarks: int,
+                                 window_keyframes: int = 0):
     """Keyframe ring + map observation lists -> GroupedBAProblem over the
     top-`max_landmarks` landmark slots by live observation count.
+
+    window_keyframes > 0 makes the compaction WINDOW-AWARE: landmarks are
+    ranked primarily by their live observations in the NEWEST
+    `window_keyframes` ring keyframes (the only poses local_ba_step
+    actually optimizes — everything older is a fixed vertex), with total
+    live count as the tiebreak. Ranking by total count alone biased the
+    selection toward old, long-tracked landmarks; on a rotation-heavy loop
+    those are behind the camera by the time the window poses need
+    constraints, and a starved window produced a divergent pose correction
+    (measured: the closed-circle bench teleported without a loop closer at
+    max_landmarks=2048; window-aware selection fixes the same run).
 
     Returns (problem, order, lm_idx) with order[d] = ring slot at dense
     window index d (oldest first) and lm_idx (L,) the selected map slots."""
@@ -61,7 +73,17 @@ def build_window_problem_grouped(m, kfs, scale_factor: float,
     slot_all = jnp.clip(m.obs_kf, 0, KF - 1)
     live = ((m.obs_kf >= 0) & kfs.valid[slot_all]) & m.valid[:, None]
     n_live = jnp.sum(live, axis=1)
-    _, lm_idx = jax.lax.top_k(n_live, max_landmarks)  # (L,)
+    if window_keyframes > 0:
+        n_valid = jnp.sum(kfs.valid)
+        # dense index >= n_valid - W  <=>  one of the W newest keyframes
+        in_window = (dense_of_slot[slot_all]
+                     >= jnp.maximum(n_valid - window_keyframes, 0))
+        n_win = jnp.sum(live & in_window, axis=1)
+        # lexicographic (window count, total count); K <= 16 < 64
+        rank = n_win * 64 + n_live
+    else:
+        rank = n_live
+    _, lm_idx = jax.lax.top_k(rank, max_landmarks)  # (L,)
 
     kf_slot = m.obs_kf[lm_idx]                    # (L, O)
     feat = m.obs_feat[lm_idx]
@@ -131,7 +153,8 @@ def local_ba_step(state, cam: cam_mod.CameraParams, cfg: PipelineConfig,
     m, kfs = state.map, state.kfs
     KF = kfs.T_cw.shape[0]
     problem, order, lm_idx = build_window_problem_grouped(
-        m, kfs, cfg.pyramid.scale_factor, cfg.solver.max_landmarks)
+        m, kfs, cfg.pyramid.scale_factor, cfg.solver.max_landmarks,
+        window_keyframes=cfg.solver.window_keyframes)
     if cfg.solver.stereo_gate_px > 0 and problem.obs_ur is not None:
         # kill heavy-tail u_R rows before the solve: the stereo-LK disparity
         # is unbiased but ~6x noisier than the left observations with multi-
