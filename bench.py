@@ -36,7 +36,12 @@ import time
 # are skipped once the budget is nearly spent so a slow/contended machine
 # still yields the JSON line instead of an external timeout kill.
 _BENCH_T0 = time.time()
-_BENCH_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "900"))
+# 1200 s: the r5 extras set (offline scan + MFU + loop + BA scaling +
+# dp_eval) measured ~1150 s end-to-end on a contended box. The headline
+# JSON line is printed BEFORE the extras as well as after (the driver
+# parses the LAST JSON line), so an external kill mid-extras still leaves
+# a valid result on stdout.
+_BENCH_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1200"))
 
 
 def _time_left():
@@ -715,6 +720,21 @@ def main():
         from trackingbench_slam_tpu.utils import metrics as _metrics
         extra["ate_rmse_m_at_cpu_frames"] = round(
             _metrics.ate_rmse(P_dev[:n_cpu], gt[:n_cpu], align=True), 5)
+
+    def emit():
+        print(json.dumps({
+            "metric": "stereo_vo_frames_per_s_per_chip",
+            "value": round(fps_dev, 3),
+            "unit": "frames/s",
+            "vs_baseline": (round(fps_dev / fps_cpu, 3)
+                            if fps_cpu > 0 else None),
+            "extra": extra,
+        }), flush=True)
+
+    # crash-safe early emit: the driver parses the LAST JSON line, so if
+    # anything below (or an external timeout) kills the process the
+    # headline still stands; the final emit supersedes it with the extras
+    emit()
     if _time_left() > 90:
         try:
             extra["stage_ms"] = stage_timings(cfg, frames)
@@ -737,11 +757,11 @@ def main():
                 # rest
                 ("offline_scan", lambda: offline_scan_bench(cfg, frames)),
                 ("kernel_efficiency", kernel_efficiency_bench),
+                ("ba_scaling", ba_scaling_bench),
                 ("loop_closing", lambda: loop_closing_bench(cfg, baseline)),
+                ("dp_eval", lambda: dp_eval_bench(cfg, frames)),
                 ("photometric_stress",
                  lambda: photometric_stress_bench(cfg, frames, gt)),
-                ("ba_scaling", ba_scaling_bench),
-                ("dp_eval", lambda: dp_eval_bench(cfg, frames)),
         ):
             if name == "kernel_efficiency" and dev.platform == "cpu":
                 continue        # Pallas kernels are TPU-only (no interpret)
@@ -766,13 +786,7 @@ def main():
             except Exception as e:
                 print(f"real-sequence eval skipped: {e}", file=sys.stderr)
 
-    print(json.dumps({
-        "metric": "stereo_vo_frames_per_s_per_chip",
-        "value": round(fps_dev, 3),
-        "unit": "frames/s",
-        "vs_baseline": round(fps_dev / fps_cpu, 3) if fps_cpu > 0 else None,
-        "extra": extra,
-    }))
+    emit()
     return 0
 
 

@@ -118,19 +118,22 @@ def measure(reps: int = 3) -> dict:
     h, w = 370, 1226
     img = jnp.asarray(r.rand(h, w).astype(np.float32) * 255.0)
 
-    @functools.partial(jax.jit, static_argnames=("k",))
+    @jax.jit
     def fast_rep(x, k):
-        s = jnp.float32(0)
-        cur = x
-        for _ in range(k):
+        # dynamic-trip fori_loop: 5-rep unrolled deltas were swamped by
+        # per-dispatch noise (measured 0.05-2 ms for the same kernel);
+        # ~100 chained reps put the delta well above it
+        def body(i, st):
+            s, cur = st
             y = fast_score_map_pallas(cur, threshold=12.0)
             s = s + jnp.sum(y)
-            cur = x + s * 1e-12        # data dependency between reps
+            return s, x + s * 1e-12    # data dependency between reps
+        s, _ = jax.lax.fori_loop(0, k, body, (jnp.float32(0), x))
         return s
 
-    t1 = timed(lambda x: fast_rep(x, k=1), img)
-    t5 = timed(lambda x: fast_rep(x, k=5), img)
-    t_fast = max((t5 - t1) / 4, 1e-9)
+    t_lo = timed(lambda x: fast_rep(x, jnp.int32(8)), img)
+    t_hi = timed(lambda x: fast_rep(x, jnp.int32(104)), img)
+    t_fast = max((t_hi - t_lo) / 96, 1e-9)
     reread = (TILE_H + 2 * PAD) / TILE_H
     fast_bytes = h * w * 4 * (reread + 1)
     fast_flops = h * w * 145    # 24-step run-count + SAD + NMS per pixel
