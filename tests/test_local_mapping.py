@@ -251,3 +251,49 @@ def test_grouped_ba_matches_flat(rng):
     p_err = np.linalg.norm(np.asarray(X_g) - np.asarray(res_flat.points),
                            axis=1)
     assert np.median(p_err) < 2e-3, np.median(p_err)
+
+
+def test_window_aware_compaction_prefers_window_landmarks():
+    """Landmarks observed by the NEWEST (optimized) keyframes must win the
+    compaction over old landmarks with more total observations — ranking
+    by total count alone starved the optimized poses of constraints on
+    rotation-heavy trajectories (round-5 loop-bench divergence)."""
+    from trackingbench_slam_tpu.models import map as map_mod
+    from trackingbench_slam_tpu.models.local_mapping import (
+        build_window_problem_grouped)
+
+    KF, N, M, K_obs = 8, 16, 64, 16
+    kfs = map_mod.empty_keyframes(KF, N)
+    kfs = kfs._replace(valid=jnp.ones((KF,), bool),
+                       frame_id=jnp.arange(KF, dtype=jnp.int32),
+                       kp_valid=jnp.ones((KF, N), bool))
+    m = map_mod.empty_map(M, K_obs)
+    obs_kf = np.full((M, K_obs), -1, np.int32)
+    obs_feat = np.full((M, K_obs), -1, np.int32)
+    # landmarks 0..31: observed by the 6 OLDEST keyframes (6 obs each);
+    # landmarks 32..47: observed by only the 2 NEWEST keyframes (2 obs)
+    for lm in range(32):
+        for j in range(6):
+            obs_kf[lm, j] = j          # ring slots 0..5 = oldest
+            obs_feat[lm, j] = lm % N
+    for lm in range(32, 48):
+        for j in range(2):
+            obs_kf[lm, j] = 6 + j      # ring slots 6,7 = newest
+            obs_feat[lm, j] = lm % N
+    valid = np.zeros(M, bool)
+    valid[:48] = True
+    m = m._replace(obs_kf=jnp.asarray(obs_kf),
+                   obs_feat=jnp.asarray(obs_feat),
+                   valid=jnp.asarray(valid))
+
+    # window = 2 newest keyframes; room for only 16 landmarks
+    _, _, lm_idx = build_window_problem_grouped(
+        m, kfs, 0.8, max_landmarks=16, window_keyframes=2)
+    sel = set(np.asarray(lm_idx).tolist())
+    assert sel == set(range(32, 48)), sel
+
+    # without window-awareness the old 6-obs landmarks win instead
+    _, _, lm_idx0 = build_window_problem_grouped(
+        m, kfs, 0.8, max_landmarks=16, window_keyframes=0)
+    sel0 = set(np.asarray(lm_idx0).tolist())
+    assert sel0.issubset(set(range(32))), sel0
