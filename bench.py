@@ -460,53 +460,32 @@ def photometric_stress_bench(cfg, frames, gt):
 
 
 def ba_scaling_bench():
-    """BA iters/s (BASELINE.md's missing metric): production-size solve on
-    the bench device (in-process — a subprocess pays ~150 s of remote
-    backend init), plus weak scaling over virtual CPU devices (landmarks
-    per shard constant at 512; efficiency = t_iter(1 dev) / t_iter(8 dev),
-    1.0 = perfect). The CPU runs stay subprocesses: XLA's virtual device
-    count binds at backend init and must not touch this process."""
-    import subprocess
-    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "benchmarks", "ba_scaling.py")
+    """BA iters/s (BASELINE.md's metric): production-size solve on the
+    bench device (in-process — a subprocess pays ~150 s of remote backend
+    init), combined with the analytic ICI all-reduce model into predicted
+    N-chip weak-scaling efficiency.
 
-    def run(args):
-        r = subprocess.run([sys.executable, script] + args,
-                           capture_output=True, text=True,
-                           timeout=max(60, min(420, _time_left())))
-        for line in r.stdout.splitlines():
-            line = line.strip()
-            if line.startswith("{"):
-                return json.loads(line)
-        print(f"ba_scaling {args} produced no JSON: {r.stderr[-300:]}",
-              file=sys.stderr)
-        return None
-
+    Rounds 3-4 also ran an 8-virtual-CPU-device weak-scaling proxy; it
+    read 0.094 against a 0.25 two-core ceiling — uninformative about ICI
+    (VERDICT r4) — so the budget goes to the model instead: the solver's
+    ONLY per-iteration collective is one 37 KB psum of the Schur-reduced
+    camera system (benchmarks/ici_model.py; the 8-virtual-device dryrun
+    remains the correctness gate)."""
     out = {}
     try:
         sys.path.insert(0, os.path.join(os.path.dirname(
             os.path.abspath(__file__)), "benchmarks"))
         from ba_scaling import measure
+        from ici_model import allreduce_s, psum_bytes_per_iter
         out["device_1chip"] = measure(devices=1, landmarks=4096, reps=3)
+        t = out["device_1chip"]["ms_per_iter"] / 1e3
+        payload = psum_bytes_per_iter(out["device_1chip"]["keyframes"])
+        out["psum_bytes_per_iter"] = payload
+        out["predicted_weak_scaling_efficiency"] = {
+            str(n): round(t / (t + allreduce_s(n, payload)), 4)
+            for n in (2, 4, 8, 16)}
     except Exception as e:
         print(f"ba_scaling device run skipped: {e}", file=sys.stderr)
-    if _time_left() > 180:
-        c1 = run(["--cpu", "--devices", "1", "--landmarks", "512",
-                  "--reps", "2"])
-        c8 = run(["--cpu", "--devices", "8", "--landmarks", "4096",
-                  "--reps", "2"])
-        if c1 and c8:
-            out["cpu_1dev_512lm"] = c1
-            out["cpu_8dev_4096lm"] = c8
-            out["weak_scaling_efficiency"] = round(
-                c1["ms_per_iter"] / max(c8["ms_per_iter"], 1e-9), 3)
-            # context: the 8 virtual XLA devices share this host's physical
-            # cores, so efficiency is bounded by cores/devices (on the
-            # 2-vCPU bench box the ceiling is 0.25, not 1.0) — the number
-            # validates the collective program, not real scaling hardware
-            out["host_physical_cpus"] = os.cpu_count()
-            out["efficiency_ceiling_on_this_host"] = round(
-                min(1.0, (os.cpu_count() or 1) / 8), 3)
     return out
 
 
