@@ -205,17 +205,25 @@ def main():
         kf_slot = map_mod.next_kf_slot(state.kfs).astype(jnp.int32)
         m = map_mod.purge_kf_slot(state.map, kf_slot,
                                   state.kfs.valid[kf_slot])
+        if stop == "purge":
+            return ssum(f, state, m, depth_ok, lk.xy)
         m, slots = map_mod.add_points(
             m, p_w, f.desc, normal, min_dist, max_dist,
             jnp.broadcast_to(kf_slot, f.kp_level.shape), f.kp_level, want)
+        if stop == "addpts":
+            return ssum(f, state, m, slots, depth_ok, lk.xy)
         got = want & (slots < m.capacity)
         m = map_mod.write_anchor_patches(m, f.lk_pyr[0], f.kp_xy, slots, got)
+        if stop == "atlas":
+            return ssum(f, state, m, slots, depth_ok, lk.xy)
         f = f._replace(map_idx=jnp.where(got, slots, f.map_idx))
         feat_idx = jnp.arange(f.capacity, dtype=jnp.int32)
         tracked = f.valid & (f.map_idx >= 0) & ~got
         m = map_mod.add_observations(
             m, jnp.where(got, slots, f.map_idx), kf_slot, feat_idx,
             got | tracked)
+        if stop == "obs":
+            return ssum(f, state, m, depth_ok, lk.xy)
         kp_ur = jnp.where(depth_ok, lk.xy[:, 0], -1.0)
         kfs, _ = map_mod.insert_keyframe(state.kfs, f, state.frame_id,
                                          slot=kf_slot, kp_ur=kp_ur)
@@ -228,8 +236,10 @@ def main():
         m = map_mod.compute_distinctive_descriptors(m, kfs)
         return ssum(f, state, m, kfs)
 
-    stops = ["anchor", "extract", "merge", "stereo", "fuse", "insert",
-             "full"]
+    stops = ["fuse", "purge", "addpts", "atlas", "obs", "insert", "full"]
+    if "--coarse" in sys.argv:
+        stops = ["anchor", "extract", "merge", "stereo", "fuse", "insert",
+                 "full"]
     prev = 0.0
     for s in stops:
         fn = jax.jit(functools.partial(kf_prefix, stop=s))

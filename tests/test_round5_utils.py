@@ -92,3 +92,40 @@ def test_track_step_equalize_config_runs():
              photometric_stress(R0, 0).astype(np.float32))
     st = vo.track(f1)
     assert int(st.num_inliers) > 20
+
+
+def test_pallas_cell_patches_match_gather_formula():
+    """The gather-free (window-DMA + static-slice blend) anchor-patch read
+    must equal the 4-tap bilinear gather for interior keypoints — it
+    replaced a ~22 ms serialized gather in the keyframe program."""
+    from trackingbench_slam_tpu.models.map import (
+        ATLAS_CELL, bilinear_cell_patches_pallas)
+    r = np.random.RandomState(3)
+    h, w = 96, 256
+    img = jnp.asarray(r.rand(h, w).astype(np.float32) * 255)
+    B = 16
+    kp = jnp.asarray(np.stack([r.uniform(20, w - 20, B),
+                               r.uniform(20, h - 20, B)],
+                              -1).astype(np.float32))
+    ok = jnp.ones((B,), bool)
+    got = np.asarray(bilinear_cell_patches_pallas(img, kp, ok,
+                                                  interpret=True))
+    # oracle: the original gather formula
+    c = ATLAS_CELL
+    offs = np.arange(c) - c // 2
+    oy, ox = np.meshgrid(offs, offs, indexing="ij")
+    kpn = np.asarray(kp)
+    imn = np.asarray(img)
+    sx = kpn[:, 0, None, None] + ox[None]
+    sy = kpn[:, 1, None, None] + oy[None]
+    x0 = np.floor(sx).astype(int)
+    y0 = np.floor(sy).astype(int)
+    fx = sx - x0
+    fy = sy - y0
+    v00 = imn[y0, x0]
+    v01 = imn[y0, x0 + 1]
+    v10 = imn[y0 + 1, x0]
+    v11 = imn[y0 + 1, x0 + 1]
+    want = ((1 - fy) * ((1 - fx) * v00 + fx * v01)
+            + fy * ((1 - fx) * v10 + fx * v11))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3)

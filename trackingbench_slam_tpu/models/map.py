@@ -98,6 +98,41 @@ def atlas_cell_centers(slots: jax.Array, grid: int) -> jax.Array:
                      axis=-1).astype(jnp.float32)
 
 
+def bilinear_cell_patches_pallas(img: jax.Array, kp_xy: jax.Array,
+                                 ok: jax.Array, interpret: bool = False):
+    """(B, c, c) bilinear patches centered on kp_xy, gather-free.
+
+    The 4-tap bilinear gather of (B, c, c) patches (B*c*c*4 ~ 650k image
+    gathers at B=2000) serialized at ~22 ms per keyframe inside the fused
+    keyframe program (bisect_keyframe2 'atlas' delta) — the single largest
+    keyframe substage. The Pallas window-DMA extractor cuts an
+    integer-aligned neighborhood per point; the sub-pixel offset becomes a
+    4-tap blend of STATIC slices (sample positions kp+off for integer off
+    share one fractional part, so one (fx, fy) per point is exact).
+    Points must be >= c//2+1 px from the border (extraction guarantees
+    this for real keypoints; masked rows are arbitrary)."""
+    from trackingbench_slam_tpu.ops.pallas.patch_kernel import (
+        extract_patches32)
+    c = ATLAS_CELL
+    x0 = jnp.floor(kp_xy[:, 0])
+    y0 = jnp.floor(kp_xy[:, 1])
+    # extract_patches32 cuts at round(center)-15; center = floor(kp) +
+    # (15 - c//2) (integers, so round is exact) puts the tap origin
+    # floor(kp)-(c//2) at patch-local (0, 0)
+    off = float(15 - c // 2)
+    centers = jnp.stack([x0 + off, y0 + off], axis=-1)
+    pat = extract_patches32(img, centers, ok, interpret=interpret)
+    fx = (kp_xy[:, 0] - x0)[:, None, None]
+    fy = (kp_xy[:, 1] - y0)[:, None, None]
+    block = pat[:, :c + 1, :c + 1]
+    t00 = block[:, :c, :c]
+    t01 = block[:, :c, 1:]
+    t10 = block[:, 1:, :c]
+    t11 = block[:, 1:, 1:]
+    return ((1 - fy) * ((1 - fx) * t00 + fx * t01)
+            + fy * ((1 - fx) * t10 + fx * t11))          # (B, c, c)
+
+
 def write_anchor_patches(m: MapState, img: jax.Array, kp_xy: jax.Array,
                          slots: jax.Array, want: jax.Array) -> MapState:
     """Capture ATLAS_CELL^2 patches around kp_xy (bilinear, so the cell
@@ -114,22 +149,26 @@ def write_anchor_patches(m: MapState, img: jax.Array, kp_xy: jax.Array,
     c = ATLAS_CELL
     g = m.atlas_grid
     h, w = img.shape
-    offs = jnp.arange(c, dtype=img.dtype) - (c // 2)
-    oy, ox = jnp.meshgrid(offs, offs, indexing="ij")
-    sx = kp_xy[:, 0, None, None] + ox[None]
-    sy = kp_xy[:, 1, None, None] + oy[None]
-    x0 = jnp.floor(sx)
-    y0 = jnp.floor(sy)
-    fx = sx - x0
-    fy = sy - y0
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 2)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 2)
-    v00 = img[y0i, x0i]
-    v01 = img[y0i, x0i + 1]
-    v10 = img[y0i + 1, x0i]
-    v11 = img[y0i + 1, x0i + 1]
-    patches = ((1 - fy) * ((1 - fx) * v00 + fx * v01)
-               + fy * ((1 - fx) * v10 + fx * v11))   # (B, c, c)
+    slot_ok0 = want & (slots >= 0) & (slots < m.capacity)
+    if jax.default_backend() == "tpu":
+        patches = bilinear_cell_patches_pallas(img, kp_xy, slot_ok0)
+    else:
+        offs = jnp.arange(c, dtype=img.dtype) - (c // 2)
+        oy, ox = jnp.meshgrid(offs, offs, indexing="ij")
+        sx = kp_xy[:, 0, None, None] + ox[None]
+        sy = kp_xy[:, 1, None, None] + oy[None]
+        x0 = jnp.floor(sx)
+        y0 = jnp.floor(sy)
+        fx = sx - x0
+        fy = sy - y0
+        x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 2)
+        y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 2)
+        v00 = img[y0i, x0i]
+        v01 = img[y0i, x0i + 1]
+        v10 = img[y0i + 1, x0i]
+        v11 = img[y0i + 1, x0i + 1]
+        patches = ((1 - fy) * ((1 - fx) * v00 + fx * v01)
+                   + fy * ((1 - fx) * v10 + fx * v11))   # (B, c, c)
     B = patches.shape[0]
     G2 = g * g
     slot_ok = want & (slots >= 0) & (slots < m.capacity)
