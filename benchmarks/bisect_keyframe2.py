@@ -240,6 +240,11 @@ def main():
     if "--coarse" in sys.argv:
         stops = ["anchor", "extract", "merge", "stereo", "fuse", "insert",
                  "full"]
+    for a in sys.argv:
+        # --stops=anchor,stereo,full : arbitrary prefix list (each prefix
+        # costs a minutes-long tunnel compile; pick only what you need)
+        if a.startswith("--stops="):
+            stops = a.split("=", 1)[1].split(",")
     prev = 0.0
     for s in stops:
         fn = jax.jit(functools.partial(kf_prefix, stop=s))

@@ -60,11 +60,39 @@ def test_observation_roundtrip_and_descriptors(rng):
                        valid=kfs.valid.at[0].set(True))
     feat = jnp.arange(8, dtype=jnp.int32)
     m = map_mod.add_observations(m, jnp.asarray(slots), jnp.asarray(0),
-                                 feat, jnp.ones(8, bool))
+                                 feat, jnp.ones(8, bool),
+                                 desc=jnp.asarray(kf_desc[:8]))
     assert (np.asarray(m.obs_count)[slots] == 1).all()
     m = map_mod.compute_distinctive_descriptors(m, kfs)
     # single observation -> representative descriptor is that observation
     np.testing.assert_array_equal(np.asarray(m.desc)[slots], kf_desc[:8])
+
+
+def test_distinctive_descriptor_median_selection(rng):
+    """Three observations: two near-identical, one far. The representative
+    must be one of the close pair (min median Hamming distance to the
+    others) — exercises the obs_desc table across multiple keyframes
+    (MapPoint::ComputeDistinctiveDescriptors, MapPoint.cpp:253-318)."""
+    m = map_mod.empty_map(8, 4)
+    kfs = map_mod.empty_keyframes(4, 8)
+    base = rng.randint(0, 2 ** 32, (8,), dtype=np.uint64).astype(np.uint32)
+    near = base.copy()
+    near[0] ^= np.uint32(1)          # Hamming distance 1 from base
+    far = (~base).astype(np.uint32)  # Hamming distance 256 from base
+    m, slots = map_mod.add_points(
+        m, jnp.zeros((1, 3)), jnp.asarray(far[None]),
+        jnp.zeros((1, 3)), jnp.zeros((1,)), jnp.ones((1,)),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32),
+        jnp.ones((1,), bool))
+    one = jnp.ones((1,), bool)
+    f0 = jnp.zeros((1,), jnp.int32)
+    for kf, d in [(0, far), (1, base), (2, near)]:
+        m = map_mod.add_observations(m, jnp.asarray(slots),
+                                     jnp.asarray(kf, jnp.int32), f0, one,
+                                     desc=jnp.asarray(d[None]))
+    m = map_mod.compute_distinctive_descriptors(m, kfs)
+    got = np.asarray(m.desc)[slots[0]]
+    assert (got == base).all() or (got == near).all()
 
 
 def test_predict_scale():

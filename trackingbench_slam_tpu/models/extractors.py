@@ -74,13 +74,22 @@ def occupancy_mask(shape_hw: tuple[int, int], existing_xy: jax.Array,
     (ORBextractor.cpp:717-729: reject within 20 px; FASTextractor.cpp:133-141:
     mark grid cells occupied)."""
     h, w = shape_hw
-    occ = jnp.zeros((h, w), jnp.float32)
     xi = jnp.clip(jnp.round(existing_xy[:, 0]).astype(jnp.int32), 0, w - 1)
     yi = jnp.clip(jnp.round(existing_xy[:, 1]).astype(jnp.int32), 0, h - 1)
-    vals = existing_valid.astype(jnp.float32)
-    occ = occ.at[yi, xi].max(vals)
+    # presence image as ONE MXU matmul instead of an N-row scatter (the
+    # .at[yi, xi].max scatter serializes at ~1.8 ms/2000 rows on TPU, and
+    # this runs once per pyramid level): occ[y, x] > 0 iff some valid
+    # point rounds to (y, x)
+    yi = jnp.where(existing_valid, yi, h)  # one_hot(h) of an OOB row = 0
+    Y = jax.nn.one_hot(yi, h, dtype=jnp.float32)        # (N, h)
+    X = jax.nn.one_hot(xi, w, dtype=jnp.float32)        # (N, w)
+    occ = jax.lax.dot_general(Y, X, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # (h, w)
+    occ = (occ > 0.0).astype(jnp.float32)
     k = 2 * radius + 1
-    occ = jax.lax.reduce_window(occ, 0.0, jax.lax.max, (k, k), (1, 1), "SAME")
+    # Chebyshev dilation, separable (max filter factorizes exactly)
+    occ = jax.lax.reduce_window(occ, 0.0, jax.lax.max, (1, k), (1, 1), "SAME")
+    occ = jax.lax.reduce_window(occ, 0.0, jax.lax.max, (k, 1), (1, 1), "SAME")
     return 1.0 - occ
 
 
@@ -123,13 +132,19 @@ def extract_orb(frame: FrameState, cam: cam_mod.CameraParams,
         # pay for it (make_frame does not blur)
         blurred = image_ops.gaussian_blur(img)
         if jax.default_backend() == "tpu":
-            # gather-free path: window-DMA patches + one-matmul rBRIEF
-            patches = extract_patches32(img, xy, valid)
-            angle = jnp.where(valid, ic_angle_from_patches(patches), 0.0)
+            # gather-free path: window-DMA patches + one-matmul rBRIEF.
+            # ONE patch extraction from the blurred level serves both the
+            # IC angle and the descriptors (the reference computes the
+            # angle pre-blur, ORBextractor.cpp:960; a 7x7 Gaussian shifts
+            # the 31-px intensity centroid by well under the 12-degree
+            # rBRIEF rotation bin, and descriptors only ever match against
+            # descriptors built the same way — while the second window-DMA
+            # pass cost ~2 us/keypoint of keyframe budget)
             bpatches = extract_patches32(blurred, xy, valid)
+            angle = jnp.where(valid, ic_angle_from_patches(bpatches), 0.0)
             desc = brief_from_patches(bpatches, angle, valid)
         else:
-            angle = orb_ops.ic_angle(img, xy, valid)
+            angle = orb_ops.ic_angle(blurred, xy, valid)
             desc = orb_ops.brief_descriptors(blurred, xy, angle, valid)
         all_xy.append(xy / s)  # rescale to level-0 coords (ORBextractor.cpp:968-974)
         all_resp.append(resp)

@@ -53,6 +53,16 @@ class MapState(NamedTuple):
     n_fail_reproj: jax.Array  # (M,) direct-matcher failure counter
     obs_kf: jax.Array     # (M, K) observing keyframe slots, -1 empty
     obs_feat: jax.Array   # (M, K) feature index within that keyframe
+    obs_desc: jax.Array   # (M, K, 8) descriptor captured at observation
+    #                       time (uint32 words). Keyframe descriptors are
+    #                       write-once snapshots, so storing them per
+    #                       landmark at add_observations time (a <=2048-row
+    #                       scatter) is exact — and it makes
+    #                       compute_distinctive_descriptors gather-free:
+    #                       the (M*K)-row two-level gather from
+    #                       kfs.desc[obs_kf, obs_feat] serialized at
+    #                       several ms per keyframe on TPU (bisect_keyframe2
+    #                       'full' delta).
     obs_count: jax.Array  # (M,)
     # Anchor-patch atlas: one ATLAS_CELL x ATLAS_CELL image patch per
     # landmark slot, captured around the creating observation, packed into
@@ -230,6 +240,7 @@ def empty_map(capacity: int, max_obs: int, dtype=jnp.float32) -> MapState:
         n_fail_reproj=jnp.zeros((M,), jnp.int32),
         obs_kf=jnp.full((M, K), -1, jnp.int32),
         obs_feat=jnp.full((M, K), -1, jnp.int32),
+        obs_desc=jnp.zeros((M, K, 8), jnp.uint32),
         obs_count=jnp.zeros((M,), jnp.int32),
     )
 
@@ -278,30 +289,42 @@ def add_points(m: MapState, pos: jax.Array, desc: jax.Array,
     n = pos.shape[0]
     ones = jnp.ones((n,), jnp.int32)
     no_obs = jnp.full((n, K), -1, jnp.int32)
+    no_desc = jnp.zeros((n, K * 8), jnp.uint32)
     (pos_, desc_, normal_, min_d, max_d, valid_, ref_kf_, ref_level_,
-     n_vis, n_fnd, n_fail, obs_kf_, obs_feat_,
+     n_vis, n_fnd, n_fail, obs_kf_, obs_feat_, obs_desc_,
      obs_count_) = packing.scatter_rows_set(
         [m.pos, m.desc, m.normal, m.min_dist, m.max_dist, m.valid,
          m.ref_kf, m.ref_level, m.n_visible, m.n_found, m.n_fail_reproj,
-         m.obs_kf, m.obs_feat, m.obs_count],
+         m.obs_kf, m.obs_feat, m.obs_desc.reshape(m.capacity, K * 8),
+         m.obs_count],
         dest,
         [pos, desc, normal, min_dist, max_dist, jnp.ones((n,), bool),
          ref_kf.astype(jnp.int32), ref_level.astype(jnp.int32),
-         ones, ones, ones * 0, no_obs, no_obs, ones * 0])
+         ones, ones, ones * 0, no_obs, no_obs, no_desc, ones * 0])
+    obs_desc_ = obs_desc_.reshape(m.capacity, K, 8)
     new = m._replace(
         pos=pos_, desc=desc_, normal=normal_, min_dist=min_d,
         max_dist=max_d, valid=valid_, ref_kf=ref_kf_, ref_level=ref_level_,
         n_visible=n_vis, n_found=n_fnd, n_fail_reproj=n_fail,
-        obs_kf=obs_kf_, obs_feat=obs_feat_, obs_count=obs_count_)
+        obs_kf=obs_kf_, obs_feat=obs_feat_, obs_desc=obs_desc_,
+        obs_count=obs_count_)
     return new, dest
 
 
 def add_observations(m: MapState, point_idx: jax.Array, kf_slot: jax.Array,
-                     feat_idx: jax.Array, want: jax.Array) -> MapState:
+                     feat_idx: jax.Array, want: jax.Array,
+                     desc: jax.Array | None = None) -> MapState:
     """Append (keyframe, feature) observations to landmarks
     (MapPoint::AddObservation, MapPoint.cpp:94-105). point_idx: (B,) landmark
     slots; kf_slot scalar or (B,); feat_idx: (B,). Ring-overwrites when a
-    landmark's observation list is full."""
+    landmark's observation list is full.
+
+    desc: (B, 8) uint32 descriptors of the observing features (the rows of
+    the keyframe's descriptor table the observations point at). Stored in
+    the per-landmark obs_desc table so descriptor maintenance never gathers
+    from the keyframe store; pass it whenever the caller will rely on
+    compute_distinctive_descriptors (omitting it records zero descriptors
+    for these observations)."""
     K = m.obs_kf.shape[1]
     cap = m.capacity
     pi = jnp.where(want, point_idx, cap)
@@ -309,8 +332,12 @@ def add_observations(m: MapState, point_idx: jax.Array, kf_slot: jax.Array,
     kf_b = jnp.broadcast_to(jnp.asarray(kf_slot), feat_idx.shape)
     obs_kf = m.obs_kf.at[pi, col].set(kf_b, mode="drop")
     obs_feat = m.obs_feat.at[pi, col].set(feat_idx, mode="drop")
+    if desc is None:
+        desc = jnp.zeros((feat_idx.shape[0], 8), jnp.uint32)
+    obs_desc = m.obs_desc.at[pi, col].set(desc, mode="drop")
     obs_count = m.obs_count.at[pi].add(jnp.where(want, 1, 0), mode="drop")
-    return m._replace(obs_kf=obs_kf, obs_feat=obs_feat, obs_count=obs_count)
+    return m._replace(obs_kf=obs_kf, obs_feat=obs_feat, obs_desc=obs_desc,
+                      obs_count=obs_count)
 
 
 def erase_points(m: MapState, point_idx: jax.Array, want: jax.Array) -> MapState:
@@ -397,12 +424,16 @@ def update_normal_and_depth(m: MapState, kfs: KeyframeStore,
     """
     Mcap, K = m.obs_kf.shape
     kf_cap = kfs.T_cw.shape[0]
-    kf_idx = jnp.clip(m.obs_kf, 0, kf_cap - 1)
     obs_ok = (m.obs_kf >= 0) & m.valid[:, None]
     # camera centers: T_wc[:3,3] for each observing KF
     T_wc = jax.vmap(se3.inverse)(kfs.T_cw)  # (KF, 4, 4)
     centers = T_wc[:, :3, 3]  # (KF, 3)
-    c = centers[kf_idx]  # (M, K, 3)
+    # centers[obs_kf] as a one-hot matmul: the (M*K)-row gather (even from
+    # a KF-row table) serializes on TPU; one_hot of a negative slot is all
+    # zeros, and those rows are obs_ok-masked anyway
+    oh = jax.nn.one_hot(m.obs_kf, kf_cap, dtype=m.pos.dtype)  # (M, K, KF)
+    c = jnp.einsum("mkf,fc->mkc", oh, centers,
+                   precision=jax.lax.Precision.HIGHEST)  # (M, K, 3)
     d = m.pos[:, None, :] - c
     dn = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
     dn = jnp.where(obs_ok[..., None], dn, 0.0)
@@ -410,8 +441,10 @@ def update_normal_and_depth(m: MapState, kfs: KeyframeStore,
     normal = jnp.sum(dn, axis=1) / n_obs[:, None]
     normal = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-9)
 
-    ref_kf = jnp.clip(m.ref_kf, 0, kf_cap - 1)
-    ref_center = centers[ref_kf]
+    oh_ref = jax.nn.one_hot(m.ref_kf, kf_cap, dtype=m.pos.dtype)  # (M, KF)
+    ref_center = jnp.einsum("mf,fc->mc", oh_ref, centers,
+                            precision=jax.lax.Precision.HIGHEST)
+    # ref_kf < 0 -> zero center -> garbage dist, masked by keep_band below
     ref_dist = jnp.linalg.norm(m.pos - ref_center, axis=-1)
     s = jnp.asarray(scale_factor, m.pos.dtype)
     level_scale = jnp.power(s, -m.ref_level.astype(m.pos.dtype))  # >= 1
@@ -433,16 +466,16 @@ def compute_distinctive_descriptors(m: MapState, kfs: KeyframeStore) -> MapState
     """Representative descriptor = observation whose max... reference takes the
     descriptor minimizing the *median* Hamming distance to all other
     observations (MapPoint::ComputeDistinctiveDescriptors,
-    MapPoint.cpp:253-318). Batched: gather all K observed descriptors per
-    landmark, build the K x K distance matrix per landmark, pick argmin of
-    median row."""
+    MapPoint.cpp:253-318). Batched: the K observed descriptors per landmark
+    come straight from the obs_desc table (recorded at add_observations
+    time — keyframe descriptors are write-once, so the copy is exact; the
+    former kfs.desc[obs_kf, obs_feat] two-level gather serialized at
+    several ms per keyframe on TPU). `kfs` is kept in the signature as the
+    conceptual source of the descriptors (and for the CPU oracle tests)."""
+    del kfs
     Mcap, K = m.obs_kf.shape
-    kf_cap = kfs.T_cw.shape[0]
-    n_feat = kfs.desc.shape[1]
-    kf_idx = jnp.clip(m.obs_kf, 0, kf_cap - 1)
-    ft_idx = jnp.clip(m.obs_feat, 0, n_feat - 1)
     obs_ok = (m.obs_kf >= 0) & (m.obs_feat >= 0)
-    descs = kfs.desc[kf_idx, ft_idx]  # (M, K, 8)
+    descs = m.obs_desc  # (M, K, 8)
     x = jnp.bitwise_xor(descs[:, :, None, :], descs[:, None, :, :])
     dist = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.float32)
     pair_ok = obs_ok[:, :, None] & obs_ok[:, None, :]

@@ -180,7 +180,7 @@ def mono_keyframe_step(state: vo_mod.VOState, kf_lk_pyr, kf_T_cw,
     tracked = f.valid & (f.map_idx >= 0) & ~got
     m = map_mod.add_observations(
         m, jnp.where(got, slots, f.map_idx), kf_slot, feat_idx,
-        got | tracked)
+        got | tracked, desc=f.desc)
     kfs, _ = map_mod.insert_keyframe(state.kfs, f, state.frame_id,
                                      slot=kf_slot)
     m = map_mod.update_normal_and_depth(m, kfs, cfg.pyramid.scale_factor,
@@ -254,7 +254,7 @@ class MonoVO:
         feat_idx = jnp.arange(f0.capacity, dtype=jnp.int32)
         m = map_mod.add_observations(m, jnp.where(got, slots, -1),
                                      jnp.asarray(0, jnp.int32), feat_idx,
-                                     got)
+                                     got, desc=f0.desc)
         kfs, _ = map_mod.insert_keyframe(state.kfs, f0,
                                          jnp.asarray(0, jnp.int32),
                                          slot=jnp.asarray(0, jnp.int32))

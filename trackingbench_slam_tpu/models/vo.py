@@ -338,7 +338,7 @@ def keyframe_step(state: VOState, img_right: jax.Array,
     tracked = f.valid & (f.map_idx >= 0) & ~got
     m = map_mod.add_observations(
         m, jnp.where(got, slots, f.map_idx), kf_slot, feat_idx,
-        got | tracked)
+        got | tracked, desc=f.desc)
     # rectified right-image u per feature: the stereo-row observation for
     # windowed BA (pins per-keyframe scale; -1 where the stereo LK failed)
     kp_ur = jnp.where(depth_ok, lk.xy[:, 0], -1.0)
