@@ -152,14 +152,26 @@ def main():
     def p_desc(m, k):
         return ssum(map_mod.compute_distinctive_descriptors(m, k))
 
-    probe("free_slot_destinations", p_free, argsMW, base)
-    probe("add_points (scatter_rows 14)", p_add_points, argsMW, base)
-    probe("write_anchor_patches", p_anchor_write, argsMW, base)
-    probe("add_observations", p_add_obs, argsMW, base)
-    probe("purge_kf_slot", p_purge, argsMW, base)
-    probe("insert_keyframe", p_insert_kf, argsMK, base)
-    probe("update_normal_and_depth", p_und, argsMK, base)
-    probe("compute_distinctive_descriptors", p_desc, argsMK, base)
+    all_probes = [
+        ("free_slot_destinations", p_free, argsMW),
+        ("add_points (scatter_rows 14)", p_add_points, argsMW),
+        ("write_anchor_patches", p_anchor_write, argsMW),
+        ("add_observations", p_add_obs, argsMW),
+        ("purge_kf_slot", p_purge, argsMW),
+        ("insert_keyframe", p_insert_kf, argsMK),
+        ("update_normal_and_depth", p_und, argsMK),
+        ("compute_distinctive_descriptors", p_desc, argsMK),
+    ]
+    # --only=free_slot,add_points : substring filter (each probe costs a
+    # minutes-long tunnel compile; the box fluctuates ~2x between runs, so
+    # comparisons should come from probes in the SAME run)
+    only = None
+    for a in sys.argv:
+        if a.startswith("--only="):
+            only = a.split("=", 1)[1].split(",")
+    for label, fn, args in all_probes:
+        if only is None or any(s in label for s in only):
+            probe(label, fn, args, base)
 
 
 if __name__ == "__main__":

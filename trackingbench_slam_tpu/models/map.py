@@ -264,7 +264,12 @@ def empty_keyframes(max_kf: int, kp_capacity: int, dtype=jnp.float32) -> Keyfram
 
 def free_slot_destinations(free: jax.Array, want: jax.Array) -> jax.Array:
     """Assign the r-th wanted item to the r-th free slot; items beyond the
-    free count get destination == capacity (to be dropped by scatter)."""
+    free count get destination == capacity (to be dropped by scatter).
+    (Two alternative gather/scatter-free formulations — a stable argsort
+    rank table with a one-hot matmul lookup, and a cumsum broadcast
+    compare-reduce — both measured SLOWER in-context on TPU than this
+    scatter+gather pair as fused by XLA inside add_points: 0.99/3.84 ms vs
+    0.40 ms, bisect_insert runs r5.)"""
     cap = free.shape[0]
     free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
     slot_idx = jnp.arange(cap, dtype=jnp.int32)
@@ -330,11 +335,31 @@ def add_observations(m: MapState, point_idx: jax.Array, kf_slot: jax.Array,
     pi = jnp.where(want, point_idx, cap)
     col = jnp.clip(m.obs_count[jnp.clip(pi, 0, cap - 1)] % K, 0, K - 1)
     kf_b = jnp.broadcast_to(jnp.asarray(kf_slot), feat_idx.shape)
-    obs_kf = m.obs_kf.at[pi, col].set(kf_b, mode="drop")
-    obs_feat = m.obs_feat.at[pi, col].set(feat_idx, mode="drop")
     if desc is None:
         desc = jnp.zeros((feat_idx.shape[0], 8), jnp.uint32)
-    obs_desc = m.obs_desc.at[pi, col].set(desc, mode="drop")
+    # ONE packed scatter for the three (pi, col)-addressed tables: three
+    # separate 2D scatters serialized at ~3.4 ms per keyframe
+    # (bisect_insert); packing into (M*K, 10) uint32 rows makes it one
+    # row scatter + cheap reshapes (same trick as ops/packing)
+    flat = jnp.where(want, pi * K + col, cap * K)
+    tab = jnp.concatenate([
+        jax.lax.bitcast_convert_type(m.obs_kf, jnp.uint32
+                                     ).reshape(cap * K, 1),
+        jax.lax.bitcast_convert_type(m.obs_feat, jnp.uint32
+                                     ).reshape(cap * K, 1),
+        m.obs_desc.reshape(cap * K, 8)], axis=1)            # (M*K, 10)
+    payload = jnp.concatenate([
+        jax.lax.bitcast_convert_type(kf_b.astype(jnp.int32), jnp.uint32
+                                     )[:, None],
+        jax.lax.bitcast_convert_type(feat_idx.astype(jnp.int32), jnp.uint32
+                                     )[:, None],
+        desc], axis=1)                                      # (B, 10)
+    tab = tab.at[flat].set(payload, mode="drop")
+    obs_kf = jax.lax.bitcast_convert_type(tab[:, 0], jnp.int32
+                                          ).reshape(cap, K)
+    obs_feat = jax.lax.bitcast_convert_type(tab[:, 1], jnp.int32
+                                            ).reshape(cap, K)
+    obs_desc = tab[:, 2:].reshape(cap, K, 8)
     obs_count = m.obs_count.at[pi].add(jnp.where(want, 1, 0), mode="drop")
     return m._replace(obs_kf=obs_kf, obs_feat=obs_feat, obs_desc=obs_desc,
                       obs_count=obs_count)
