@@ -133,18 +133,23 @@ def extract_orb(frame: FrameState, cam: cam_mod.CameraParams,
         blurred = image_ops.gaussian_blur(img)
         if jax.default_backend() == "tpu":
             # gather-free path: window-DMA patches + one-matmul rBRIEF.
-            # ONE patch extraction from the blurred level serves both the
-            # IC angle and the descriptors (the reference computes the
-            # angle pre-blur, ORBextractor.cpp:960; a 7x7 Gaussian shifts
-            # the 31-px intensity centroid by well under the 12-degree
-            # rBRIEF rotation bin, and descriptors only ever match against
-            # descriptors built the same way — while the second window-DMA
-            # pass cost ~2 us/keypoint of keyframe budget)
+            # The IC angle MUST come from the pre-blur patches (as the
+            # reference computes it, ORBextractor.cpp:960): computing it
+            # from the blurred patches to save the second window-DMA pass
+            # looked harmless (descriptors only match descriptors built the
+            # same way) but on smooth renders the blur collapses the 31-px
+            # intensity centroid toward zero, angles go noise-dominated,
+            # and the resulting descriptor noise poisons projection-map
+            # FUSION during post-loss re-mapping — measured on the loop
+            # bench: the closer-less arm never re-acquired after its
+            # low-texture stretch (closing err 1.6e8 m vs 0.78 m with
+            # pre-blur angles; benchmarks/loop_noclose_diag.py).
+            patches = extract_patches32(img, xy, valid)
+            angle = jnp.where(valid, ic_angle_from_patches(patches), 0.0)
             bpatches = extract_patches32(blurred, xy, valid)
-            angle = jnp.where(valid, ic_angle_from_patches(bpatches), 0.0)
             desc = brief_from_patches(bpatches, angle, valid)
         else:
-            angle = orb_ops.ic_angle(blurred, xy, valid)
+            angle = orb_ops.ic_angle(img, xy, valid)
             desc = orb_ops.brief_descriptors(blurred, xy, angle, valid)
         all_xy.append(xy / s)  # rescale to level-0 coords (ORBextractor.cpp:968-974)
         all_resp.append(resp)
